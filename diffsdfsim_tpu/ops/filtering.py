@@ -1,0 +1,87 @@
+"""Contact filtering: normal clustering + deterministic support selection.
+
+Replaces the reference `_filter_contacts` (`sdf_physics/physics3d/
+contacts.py:97-158`: greedy normal-angle clustering, then scipy Qhull convex
+hull vertices per cluster) with a fixed-shape, host-sync-free equivalent:
+
+- greedy clustering by normal angle < 1e-2 rad over a fixed number of
+  cluster rounds (first unassigned valid contact seeds each cluster, matching
+  the reference's index-order greediness)
+- per cluster, instead of Qhull vertices, keep the support points (argmax of
+  p . d) along 8 fixed tangential directions in the plane orthogonal to the
+  cluster normal — for the planar point sets produced by contact manifolds
+  this recovers exactly the extreme points Qhull would keep (e.g. the 4
+  corners of a box-floor patch), deterministically and differentiability-free
+  (runs under stop_gradient like the reference's no-grad filter phase)
+- exact-duplicate removal + stable compaction to a fixed K output slots.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.spherical import normalize, orthogonal
+
+_SQ2 = 0.7071067811865476
+
+
+def filter_contacts(
+    normals: jnp.ndarray,
+    p1: jnp.ndarray,
+    valid: jnp.ndarray,
+    k_out: int,
+    n_clusters: int = 2,
+    angle_thresh: float = 1e-2,
+):
+    """Select up to k_out representative contact indices.
+
+    Returns (sel_idx (k_out,) int32, sel_valid (k_out,) bool)."""
+    nf = normals.shape[0]
+    f_idx = jnp.arange(nf)
+    valid = valid & (jnp.linalg.norm(normals, axis=-1) > 1e-12)
+    n_unit = normalize(normals)
+
+    unassigned = valid
+    slot_idx = []
+    slot_valid = []
+    for _ in range(n_clusters):
+        # first unassigned valid contact seeds the cluster (reference takes
+        # normals[0] of the remaining set, contacts.py:110-111)
+        first = jnp.argmin(jnp.where(unassigned, f_idx, nf))
+        has = jnp.any(unassigned)
+        n_ref = n_unit[first]
+        cosang = jnp.clip(jnp.einsum("fc,c->f", n_unit, n_ref), -1.0, 1.0)
+        member = unassigned & (jnp.arccos(cosang) < angle_thresh) & has
+
+        t1 = normalize(orthogonal(n_ref))
+        t2 = normalize(jnp.cross(n_ref, t1))
+        dirs = jnp.stack(
+            [
+                t1, t2, -t1, -t2,
+                _SQ2 * (t1 + t2), _SQ2 * (t1 - t2),
+                -_SQ2 * (t1 + t2), -_SQ2 * (t1 - t2),
+            ]
+        )  # (8,3)
+        scores = jnp.einsum("fc,dc->fd", p1, dirs)
+        scores = jnp.where(member[:, None], scores, -jnp.inf)
+        picks = jnp.argmax(scores, axis=0)  # (8,)
+        for d in range(8):
+            slot_idx.append(picks[d])
+            slot_valid.append(member[picks[d]])
+        unassigned = unassigned & ~member
+
+    slot_idx = jnp.stack(slot_idx).astype(jnp.int32)  # (S,)
+    slot_valid = jnp.stack(slot_valid)
+
+    # exact-duplicate removal: keep first occurrence
+    s = slot_idx.shape[0]
+    eq = slot_idx[None, :] == slot_idx[:, None]  # [i, j]
+    earlier = jnp.tril(jnp.ones((s, s), dtype=bool), k=-1)  # i < j as [j, i]? -> use transpose
+    dup = jnp.any(eq & earlier.T & slot_valid[:, None], axis=0)
+    unique = slot_valid & ~dup
+
+    # stable compaction: valid-unique slots first, original order preserved
+    keys = jnp.where(unique, jnp.arange(s), s + jnp.arange(s))
+    order = jnp.argsort(keys)
+    top = order[:k_out]
+    return slot_idx[top], unique[top]

@@ -1,0 +1,103 @@
+"""Frank-Wolfe contact-point search over SDF surfaces.
+
+TPU-native re-derivation of the reference `_frank_wolfe`
+(`sdf_physics/physics3d/contacts.py:39-94`): for every triangle of body 1's
+surface mesh (expressed in body 2's local frame), minimize body 2's SDF over
+the triangle by 32 Frank-Wolfe iterations, tracking barycentric coordinates.
+
+Redesign for fixed shapes: the reference gathers a dynamic candidate subset
+of faces; here ALL faces are processed in lockstep with a candidate mask
+(`cand`), updates masked per-face, and the reference's global early-stops
+("all improvements below tol" / "found sdf < -tol, step will be rejected",
+contacts.py:73-78) become a frozen `active` flag in the fori_loop carry.
+Everything here runs gradient-free (the reference wraps FW in torch.no_grad,
+contacts.py:255); gradients come from the differentiable contact recompute.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class FWResult(NamedTuple):
+    abc: jnp.ndarray  # (F,3) barycentric coords of the per-face minimizer
+    x: jnp.ndarray  # (F,3) minimizer in b2 local (metric) frame
+    cand: jnp.ndarray  # (F,) candidate mask (centroid ball test)
+    contact_mask: jnp.ndarray  # (F,) final contacts: cand & (sdf <= eps)
+    sdfs: jnp.ndarray  # (F,) final sdf at x
+
+
+def frank_wolfe(
+    verts_b2: jnp.ndarray,
+    faces: jnp.ndarray,
+    query_fn: Callable,
+    eps: float,
+    tol: float,
+    iters: int = 32,
+) -> FWResult:
+    """Run FW for all faces. `verts_b2` are body-1 surface vertices in body
+    2's local metric frame; `query_fn(pts) -> (sdfs, grads)` is body 2's
+    metric local SDF (grads normalized)."""
+    pqr = verts_b2[faces]  # (F,3,3)
+    nf = pqr.shape[0]
+    f_idx = jnp.arange(nf)
+
+    # candidate test: centroid sdf < face circumradius + eps (contacts.py:44-52)
+    x0 = jnp.mean(pqr, axis=1)
+    centr_sdfs, centr_grads = query_fn(x0)
+    rads = jnp.max(jnp.linalg.norm(x0[:, None, :] - pqr, axis=-1), axis=1)
+    cand = (centr_sdfs < rads + eps) & (jnp.linalg.norm(centr_grads, axis=-1) > 1e-12)
+
+    # init at the corner with smallest sdf (contacts.py:57-61)
+    corner_sdfs = query_fn(pqr.reshape(-1, 3))[0].reshape(nf, 3)
+    init_ind = jnp.argmin(corner_sdfs, axis=1)
+    x_init = pqr[f_idx, init_ind]
+    abc_init = jax.nn.one_hot(init_ind, 3, dtype=pqr.dtype)
+
+    def body(it, carry):
+        x, abc, active = carry
+        sdfs, grads = query_fn(x)
+        # linear minimization oracle: corner minimizing grad . corner
+        dpqr = jnp.einsum("fvc,fc->fv", pqr, grads)
+        ind = jnp.argmin(dpqr, axis=1)
+        s = pqr[f_idx, ind]
+
+        gamma = 2.0 / (it + 2.0)
+        impr = jnp.sum((x - s) * grads, axis=-1)
+        gamma = gamma * (jnp.abs(impr) > tol).astype(x.dtype)
+        gamma = jnp.where(cand, gamma, 0.0)
+
+        # global early stops (contacts.py:75-78): freeze every face
+        stop = jnp.all(gamma == 0.0) | jnp.any(jnp.where(cand, sdfs, 0.0) < -tol)
+        active = active & ~stop
+
+        g = jnp.where(active, gamma, 0.0)[:, None]
+        x_new = (1.0 - g) * x + g * s
+        abc_new = abc * (1.0 - g) + g * jax.nn.one_hot(ind, 3, dtype=abc.dtype)
+        return x_new, abc_new, active
+
+    x, abc, _ = jax.lax.fori_loop(
+        0, iters, body, (x_init, abc_init, jnp.asarray(True))
+    )
+    return FWResult(abc=abc, x=x, cand=cand, contact_mask=cand, sdfs=corner_sdfs[:, 0])
+
+
+def finalize_fw(
+    res: FWResult,
+    query_fn: Callable,
+    eps: float,
+    push_fn: Callable | None = None,
+) -> FWResult:
+    """Final surface push + contact test (contacts.py:84-94).
+
+    `push_fn(abc) -> delta_x` implements the b1-surface projection when body 1
+    is an SDF body (x moved by -sdf1 * R21 grad1)."""
+    x = res.x
+    if push_fn is not None:
+        x = x + push_fn(res.abc)
+    sdfs = query_fn(x)[0]
+    contact_mask = res.cand & (sdfs <= eps)
+    return FWResult(abc=res.abc, x=x, cand=res.cand, contact_mask=contact_mask, sdfs=sdfs)

@@ -1,0 +1,329 @@
+"""Batched differentiable mixed-LCP / QP solver (primal-dual interior point).
+
+TPU-native redesign of the reference solver stack
+(`lcp_physics/lcp/lcp.py` + `lcp_physics/lcp/solvers/batch.py`): a Mehrotra
+predictor-corrector interior-point method solving, per batch element,
+
+    min_z  1/2 zᵀQz + pᵀz   s.t.  Gz <= h + Fz  (mixed-LCP slack coupling),
+                                   Az  = b
+
+with gradients by implicit differentiation of the KKT conditions
+(`lcp.py:155-213`), exposed through ``jax.custom_vjp``.
+
+Differences from the reference that are deliberate TPU design choices:
+
+- fixed iteration count under ``lax.fori_loop`` with best-iterate carry; the
+  reference's early exits (`batch.py:164-167` notImprovedLim / eps / mu
+  blow-up) become a ``done`` flag that freezes further updates — numerically
+  identical results, static control flow.
+- no partial-LU caching of the Schur complement (`batch.py:413-520`): the
+  KKT systems here are tiny (tens of rows), so we rebuild the Schur
+  complement S each iteration and use dense batched ``jnp.linalg.solve``
+  (one XLA fused LU per call). Q is pre-factorized once by Cholesky (it is
+  the SPD mass matrix in the physics use).
+- NaN-robust: a failed factorization (NaN/Inf in the step) freezes the
+  iterate at the best-so-far (the reference catches the exception and
+  returns best, `batch.py:134-137`).
+
+All inputs are batched with a leading ``nb`` axis. ``neq`` (rows of A) may be
+zero; shapes are static.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bouter(a, b):
+    """Batched outer product a bᵀ: (nb,n),(nb,m) -> (nb,n,m)."""
+    return a[..., :, None] * b[..., None, :]
+
+
+def _bmv(M, v):
+    """Batched matrix-vector: (nb,n,m),(nb,m) -> (nb,n)."""
+    return jnp.einsum("...ij,...j->...i", M, v)
+
+
+def _bmtv(M, v):
+    """Batched Mᵀ v: (nb,n,m),(nb,n) -> (nb,m)."""
+    return jnp.einsum("...ij,...i->...j", M, v)
+
+
+class _KKTCache(NamedTuple):
+    Q_chol: jnp.ndarray  # (nb, nz, nz) cholesky factor of Q
+    AinvQAT: jnp.ndarray  # (nb, neq, neq)
+    AinvQGT: jnp.ndarray  # (nb, neq, nineq)
+    GinvQAT: jnp.ndarray  # (nb, nineq, neq)
+    R: jnp.ndarray  # (nb, nineq, nineq) = G Q^-1 Gᵀ + F
+    G: jnp.ndarray
+    A: jnp.ndarray
+
+
+def _pre_factor(Q, G, A, F):
+    """One-time products (reference pre_factor_kkt, batch.py:413-479)."""
+    Q_chol = jnp.linalg.cholesky(Q)
+    invQ_GT = jax.scipy.linalg.cho_solve((Q_chol, True), jnp.swapaxes(G, -1, -2))
+    R = G @ invQ_GT + F
+    invQ_AT = jax.scipy.linalg.cho_solve((Q_chol, True), jnp.swapaxes(A, -1, -2))
+    AinvQAT = A @ invQ_AT
+    AinvQGT = A @ invQ_GT
+    GinvQAT = G @ invQ_AT
+    return _KKTCache(Q_chol, AinvQAT, AinvQGT, GinvQAT, R, G, A)
+
+
+def _solve_kkt(cache: _KKTCache, d, rx, rs, rz, ry):
+    """Solve the reduced KKT system for given diagonal d = z/s
+    (reference solve_kkt, batch.py:380-410).
+
+    Returns (dx, ds, dz, dy)."""
+    G, A = cache.G, cache.A
+    neq = A.shape[-2]
+    invQ_rx = jax.scipy.linalg.cho_solve((cache.Q_chol, True), rx[..., None])[..., 0]
+
+    h_ineq = _bmv(G, invQ_rx) + rs / d - rz
+    nineq = G.shape[-2]
+    dinv = 1.0 / d
+    S22 = cache.R + jnp.eye(nineq, dtype=d.dtype) * dinv[..., None, :]
+
+    if neq > 0:
+        h_eq = _bmv(A, invQ_rx) - ry
+        hvec = jnp.concatenate([h_eq, h_ineq], axis=-1)
+        S = jnp.concatenate(
+            [
+                jnp.concatenate([cache.AinvQAT, cache.AinvQGT], axis=-1),
+                jnp.concatenate([cache.GinvQAT, S22], axis=-1),
+            ],
+            axis=-2,
+        )
+    else:
+        hvec = h_ineq
+        S = S22
+
+    w = -jnp.linalg.solve(S, hvec[..., None])[..., 0]
+    w_eq, w_ineq = w[..., :neq], w[..., neq:]
+
+    g1 = -rx - _bmtv(G, w_ineq)
+    if neq > 0:
+        g1 = g1 - _bmtv(A, w_eq)
+    g2 = -rs - w_ineq
+
+    dx = jax.scipy.linalg.cho_solve((cache.Q_chol, True), g1[..., None])[..., 0]
+    ds = g2 / d
+    dz = w_ineq
+    dy = w_eq
+    return dx, ds, dz, dy
+
+
+def _get_step(v, dv):
+    """Max step in [0,1] keeping v + a*dv > 0 (reference get_step,
+    batch.py:234-237; entries with dv >= 0 never bind)."""
+    a = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+    return jnp.min(a, axis=-1)
+
+
+def _pdipm_forward(Q, p, G, h, A, b, F, max_iter, eps, not_improved_lim):
+    """Mehrotra predictor-corrector loop (reference batch.py:70-231)."""
+    nb, nineq, nz = G.shape
+    neq = A.shape[-2]
+    dtype = Q.dtype
+    cache = _pre_factor(Q, G, A, F)
+
+    # initialization: one KKT solve with d = 1 (batch.py:84-90)
+    d0 = jnp.ones((nb, nineq), dtype=dtype)
+    x, s, z, y = _solve_kkt(
+        cache, d0, p, jnp.zeros((nb, nineq), dtype=dtype), -h, -b if neq > 0 else b
+    )
+
+    # shift slacks and ineq duals to >= 1 (batch.py:100-110)
+    def shift(v):
+        m = jnp.min(v, axis=-1, keepdims=True)
+        return jnp.where(m < 0, v - m + 1.0, v)
+
+    s = shift(s)
+    z = shift(z)
+
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype=dtype)
+
+    class Carry(NamedTuple):
+        x: jnp.ndarray
+        s: jnp.ndarray
+        z: jnp.ndarray
+        y: jnp.ndarray
+        best_x: jnp.ndarray
+        best_s: jnp.ndarray
+        best_z: jnp.ndarray
+        best_y: jnp.ndarray
+        best_resids: jnp.ndarray
+        n_not_improved: jnp.ndarray
+        done: jnp.ndarray
+
+    def body(_, c: Carry):
+        x, s, z, y = c.x, c.s, c.z, c.y
+        # residuals (batch.py:117-131)
+        rx = _bmtv(G, z) + _bmv(jnp.swapaxes(Q, -1, -2), x) + p
+        if neq > 0:
+            rx = rx + _bmtv(A, y)
+        rs = z
+        rz = _bmv(G, x) + s - h - _bmv(F, z)
+        mu = jnp.abs(jnp.sum(s * z, axis=-1) / nineq)
+        pri_resid = jnp.linalg.norm(rz, axis=-1)
+        if neq > 0:
+            ry = _bmv(A, x) - b
+            pri_resid = pri_resid + jnp.linalg.norm(ry, axis=-1)
+        else:
+            ry = jnp.zeros((nb, 0), dtype=dtype)
+        dual_resid = jnp.linalg.norm(rx, axis=-1)
+        resids = pri_resid + dual_resid + nineq * mu
+
+        # best-iterate tracking (batch.py:143-163)
+        improved = resids < c.best_resids
+        best_x = jnp.where(improved[:, None], x, c.best_x)
+        best_s = jnp.where(improved[:, None], s, c.best_s)
+        best_z = jnp.where(improved[:, None], z, c.best_z)
+        best_y = jnp.where(improved[:, None], y, c.best_y) if neq > 0 else c.best_y
+        best_resids = jnp.where(improved, resids, c.best_resids)
+        any_improved = jnp.any(improved)
+        n_not_improved = jnp.where(any_improved, 0, c.n_not_improved + 1)
+
+        done = (
+            c.done
+            | (n_not_improved == not_improved_lim)
+            | (jnp.max(best_resids) < eps)
+            | (jnp.min(mu) > 1e32)
+        )
+
+        # affine scaling direction (batch.py:169-181)
+        d = z / s
+        dx_aff, ds_aff, dz_aff, dy_aff = _solve_kkt(cache, d, rx, rs, rz, ry)
+
+        # centering-corrector (batch.py:184-211)
+        alpha = jnp.minimum(
+            jnp.minimum(_get_step(z, dz_aff), _get_step(s, ds_aff)), 1.0
+        )
+        t1 = s + alpha[:, None] * ds_aff
+        t2 = z + alpha[:, None] * dz_aff
+        sig = (jnp.sum(t1 * t2, axis=-1) / jnp.sum(s * z, axis=-1)) ** 3
+
+        rs_cor = ((-mu * sig)[:, None] + ds_aff * dz_aff) / s
+        zeros_nz = jnp.zeros((nb, nz), dtype=dtype)
+        zeros_ineq = jnp.zeros((nb, nineq), dtype=dtype)
+        zeros_eq = jnp.zeros((nb, neq), dtype=dtype)
+        dx_cor, ds_cor, dz_cor, dy_cor = _solve_kkt(
+            cache, d, zeros_nz, rs_cor, zeros_ineq, zeros_eq
+        )
+
+        dx = dx_aff + dx_cor
+        ds = ds_aff + ds_cor
+        dz = dz_aff + dz_cor
+        alpha = jnp.minimum(
+            0.999 * jnp.minimum(_get_step(z, dz), _get_step(s, ds)), 1.0
+        )
+
+        x_new = x + alpha[:, None] * dx
+        s_new = s + alpha[:, None] * ds
+        z_new = z + alpha[:, None] * dz
+        if neq > 0:
+            dy = dy_aff + dy_cor
+            y_new = y + alpha[:, None] * dy
+        else:
+            y_new = y
+
+        # NaN guard: freeze on non-finite step (reference returns best on
+        # factorization failure, batch.py:134-137)
+        finite = (
+            jnp.all(jnp.isfinite(x_new), axis=-1)
+            & jnp.all(jnp.isfinite(s_new), axis=-1)
+            & jnp.all(jnp.isfinite(z_new), axis=-1)
+        )
+        done = done | ~finite
+
+        keep = c.done[:, None] | ~finite[:, None]
+        x_new = jnp.where(keep, x, x_new)
+        s_new = jnp.where(keep, s, s_new)
+        z_new = jnp.where(keep, z, z_new)
+        y_new = jnp.where(keep, y, y_new) if neq > 0 else y_new
+
+        return Carry(
+            x_new, s_new, z_new, y_new,
+            best_x, best_s, best_z, best_y,
+            best_resids, n_not_improved, done,
+        )
+
+    init = Carry(
+        x, s, z, y,
+        x, s, z, y,
+        jnp.full((nb,), big, dtype=dtype),
+        jnp.zeros((), dtype=jnp.int32),
+        jnp.zeros((nb,), dtype=bool),
+    )
+    out = jax.lax.fori_loop(0, max_iter, body, init)
+    # one final best-iterate check on the last iterate (the reference loop
+    # computes residuals at the top of each iteration, so iterate max_iter's
+    # residuals are evaluated here)
+    rx = _bmtv(G, out.z) + _bmv(jnp.swapaxes(Q, -1, -2), out.x) + p
+    if neq > 0:
+        rx = rx + _bmtv(A, out.y)
+    rz = _bmv(G, out.x) + out.s - h - _bmv(F, out.z)
+    mu = jnp.abs(jnp.sum(out.s * out.z, axis=-1) / nineq)
+    pri = jnp.linalg.norm(rz, axis=-1)
+    if neq > 0:
+        pri = pri + jnp.linalg.norm(_bmv(A, out.x) - b, axis=-1)
+    resids = pri + jnp.linalg.norm(rx, axis=-1) + nineq * mu
+    improved = (resids < out.best_resids) & ~out.done
+    best_x = jnp.where(improved[:, None], out.x, out.best_x)
+    best_s = jnp.where(improved[:, None], out.s, out.best_s)
+    best_z = jnp.where(improved[:, None], out.z, out.best_z)
+    best_y = jnp.where(improved[:, None], out.y, out.best_y) if neq > 0 else out.best_y
+    return best_x, best_y, best_z, best_s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def lcp_solve(Q, p, G, h, A, b, F, max_iter=10, eps=1e-12, not_improved_lim=3):
+    """Solve the batched mixed LCP/QP; returns zhat (nb, nz).
+
+    Backward pass is the exact KKT implicit differentiation of the reference
+    (`lcp.py:155-213`): one extra KKT solve with rhs (dL/dz, 0, 0, 0) and the
+    outer-product gradient formulas for Q, p, G, h, A, b, F.
+    """
+    x, _, _, _ = _pdipm_forward(Q, p, G, h, A, b, F, max_iter, eps, not_improved_lim)
+    return x
+
+
+def _lcp_fwd(Q, p, G, h, A, b, F, max_iter, eps, not_improved_lim):
+    x, y, z, s = _pdipm_forward(Q, p, G, h, A, b, F, max_iter, eps, not_improved_lim)
+    return x, (Q, G, A, F, x, y, z, s)
+
+
+def _lcp_bwd(max_iter, eps, not_improved_lim, res, dl_dzhat):
+    Q, G, A, F, zhat, nu, lam, slack = res
+    nb, nineq, nz = G.shape
+    neq = A.shape[-2]
+    dtype = Q.dtype
+
+    # clamp to avoid blow-up on tiny slacks (lcp.py:174-176)
+    d = jnp.clip(lam, min=1e-8) / jnp.clip(slack, min=1e-8)
+
+    cache = _pre_factor(Q, G, A, F)
+    zeros_ineq = jnp.zeros((nb, nineq), dtype=dtype)
+    zeros_eq = jnp.zeros((nb, neq), dtype=dtype)
+    dx, _, dlam, dnu = _solve_kkt(cache, d, dl_dzhat, zeros_ineq, zeros_ineq, zeros_eq)
+
+    dp = dx
+    dF = _bouter(dlam, lam)
+    dG = _bouter(dlam, zhat) + _bouter(lam, dx)
+    dh = -dlam
+    if neq > 0:
+        dA = _bouter(dnu, zhat) + _bouter(nu, dx)
+        db = -dnu
+    else:
+        dA = jnp.zeros_like(A)
+        db = jnp.zeros((nb, 0), dtype=dtype)
+    dQ = 0.5 * (_bouter(dx, zhat) + _bouter(zhat, dx))
+    return dQ, dp, dG, dh, dA, db, dF
+
+
+lcp_solve.defvjp(_lcp_fwd, _lcp_bwd)

@@ -1,0 +1,106 @@
+"""Body definitions: shape + surface mesh + mass properties as one pytree.
+
+Replaces the reference `Body3D` / `SDF3D` object hierarchy
+(`sdf_physics/physics3d/bodies.py:398-760`) with a data-oriented `BodyDef`:
+construction is a pure, differentiable function of shape parameters so that
+(like the reference, which rebuilds worlds every optimizer iteration,
+optim_sphere.py:238) world construction can live inside the jitted loss.
+
+The surface mesh comes from template projection (`ops/surface.py`); faces are
+static topology. Inertia is analytic where the reference has an analytic
+path (custom_inertia) or Mirtich mesh integrals otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import Defaults3D, default_dtype
+from ..ops.inertia import ang_inertia_from_mesh
+from ..ops.surface import surface_mesh
+from ..utils import meshes
+from .shapes import ShapeBase, query_sdfs
+
+
+@struct.dataclass
+class BodyDef:
+    shape: ShapeBase
+    verts: jnp.ndarray  # (V,3) metric local frame
+    faces: np.ndarray = struct.field(pytree_node=False)  # (F,3) static topology
+    mass: jnp.ndarray  # ()
+    ang_inertia: jnp.ndarray  # (3,3) body frame
+    restitution: jnp.ndarray  # ()
+    fric_coeff: jnp.ndarray  # ()
+    is_sdf: bool = struct.field(pytree_node=False, default=True)
+
+    def scale(self):
+        return self.shape.scale()
+
+    def query_sdfs(self, pts_loc, return_grads=True):
+        return query_sdfs(self.shape, pts_loc, return_grads=return_grads)
+
+
+def make_body(
+    shape: ShapeBase,
+    mass=1.0,
+    restitution=Defaults3D.RESTITUTION,
+    fric_coeff=Defaults3D.FRIC_COEFF,
+    custom_inertia: bool = Defaults3D.CUSTOM_INERTIA,
+    template: str = "auto",
+    subdiv: int = 3,
+    project_iters: int = 12,
+    verts: Optional[jnp.ndarray] = None,
+    faces: Optional[np.ndarray] = None,
+) -> BodyDef:
+    """Build a BodyDef from a shape (differentiable w.r.t. shape params/mass).
+
+    `template` picks the projection template: 'ico' (icosphere) or 'cube'
+    (cube-sphere, better coverage of large flat faces); 'auto' selects by
+    shape type. Pass explicit `verts`/`faces` for a Mesh3D-style explicit
+    mesh body (reference bodies.py:596-624)."""
+    dtype = default_dtype()
+    mass = jnp.asarray(mass, dtype=dtype)
+
+    if verts is None:
+        if template == "auto":
+            template = "ico" if type(shape).__name__ == "SphereShape" else "cube"
+        if template == "ico":
+            tv, tf = meshes.icosphere(subdiv)
+        else:
+            tv, tf = meshes.cube_template(2**subdiv)
+        tv = jnp.asarray(tv, dtype=dtype)
+        v_norm = surface_mesh(
+            tv,
+            lambda p, s: s.sdf(p),
+            lambda p, s: s.sdf_grad(p),
+            (shape,),
+            iters=project_iters,
+        )
+        verts = v_norm * shape.scale()
+        faces = tf
+        is_sdf = True
+    else:
+        faces = np.asarray(faces)
+        is_sdf = False
+
+    if custom_inertia:
+        inertia = shape.ang_inertia(mass)
+        if inertia is None:
+            inertia = ang_inertia_from_mesh(verts, jnp.asarray(faces), mass)
+    else:
+        inertia = ang_inertia_from_mesh(verts, jnp.asarray(faces), mass)
+
+    return BodyDef(
+        shape=shape,
+        verts=verts,
+        faces=faces,
+        mass=mass,
+        ang_inertia=inertia,
+        restitution=jnp.asarray(restitution, dtype=dtype),
+        fric_coeff=jnp.asarray(fric_coeff, dtype=dtype),
+        is_sdf=is_sdf,
+    )

@@ -1,0 +1,280 @@
+"""Contact generation: per-pair Frank-Wolfe search + differentiable recompute.
+
+Port of the reference `FWContactHandler` pipeline
+(`sdf_physics/physics3d/contacts.py:161-273`) to fixed-shape masked buffers:
+
+- per *directed* body pair (b1 surface mesh vs b2 SDF), run the gradient-free
+  FW search + filtering, then RECOMPUTE the selected contacts differentiably
+  (`_search_contacts` runs FW under no_grad and recomputes with grad,
+  contacts.py:255-264)
+- contact normal selected by SDF-stability: 6-point Laplacian comparison of
+  both SDFs at the contact (contacts.py:184-202)
+- SDF-SDF pairs run both directions, direction 2 gated on direction 1
+  producing a penetration-free step (contacts.py:233-240); both gated by the
+  `_overlap` OBB test (contacts.py:27-36)
+- all per-pair results are compacted into one global fixed-K contact buffer
+  (validity-sorted), which the engine consumes.
+
+Contact record convention matches the reference: ``normal`` (world frame,
+pointing from b1 into b2's outside), ``p1``/``p2`` world-*oriented* offsets
+from each body's origin, ``pen`` = -dist (contacts.py:204-212).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import SimConfig
+from ..ops.filtering import filter_contacts
+from ..ops.frank_wolfe import frank_wolfe, finalize_fw
+from ..utils.quaternion import quat_apply, quat_invert, quat_multiply
+from .bodies import BodyDef
+
+
+@struct.dataclass
+class Contacts:
+    """Global padded contact buffer (K slots)."""
+
+    normal: jnp.ndarray  # (K,3)
+    p1: jnp.ndarray  # (K,3)
+    p2: jnp.ndarray  # (K,3)
+    pen: jnp.ndarray  # (K,)
+    valid: jnp.ndarray  # (K,) bool
+    i1: jnp.ndarray  # (K,) int32 body index of body 1
+    i2: jnp.ndarray  # (K,) int32
+    pair_id: jnp.ndarray  # (K,) int32 unordered-pair id
+    max_pen_all: jnp.ndarray  # () max penetration across ALL candidates
+    pair_active: jnp.ndarray  # (n_pairs,) any valid contact per unordered pair
+
+
+class DirectedPair(NamedTuple):
+    """Static contact-pair descriptor (built once at world construction)."""
+
+    b1: int  # body whose surface mesh provides candidates
+    b2: int  # body whose SDF is queried
+    pair_id: int  # unordered pair index
+    gated: bool  # True for the second direction of an SDF-SDF pair
+    overlap_test: bool  # True for SDF-SDF pairs (reference _overlap gate)
+
+
+def _overlap(bd1: BodyDef, q1, pos1, bd2: BodyDef, q2, pos2):
+    """OBB-ish vertex-in-scale test, both ways (contacts.py:27-36)."""
+    v1_b2 = quat_apply(quat_invert(q2), quat_apply(q1, bd1.verts) + pos1 - pos2)
+    v2_b1 = quat_apply(quat_invert(q1), quat_apply(q2, bd2.verts) + pos2 - pos1)
+    s1, s2 = bd1.scale(), bd2.scale()
+    ov1 = jnp.any(jnp.all((v1_b2 >= -s2) & (v1_b2 <= s2), axis=-1))
+    ov2 = jnp.any(jnp.all((v2_b1 >= -s1) & (v2_b1 <= s1), axis=-1))
+    return ov1 & ov2
+
+
+def _compute_contacts(
+    bd1: BodyDef,
+    q1,
+    pos1,
+    bd2: BodyDef,
+    q2,
+    pos2,
+    abc,
+    face_idx,
+    valid,
+    eps: float,
+    detach_contact_b2: bool,
+    with_stability: bool = True,
+):
+    """Differentiable contact recompute (reference _compute_contacts,
+    contacts.py:161-214) for a masked set of (abc, face) candidates."""
+    faces = jnp.asarray(bd1.faces)[face_idx]  # (N,3)
+    tri = bd1.verts[faces]  # (N,3,3)
+    cp_b1 = jnp.sum(tri * abc[..., None], axis=1)
+
+    if bd1.is_sdf:
+        d1, n1 = bd1.query_sdfs(cp_b1)
+        cp_b1 = cp_b1 - d1[..., None] * n1
+        d1, n1 = bd1.query_sdfs(cp_b1)
+
+    contact_pts = quat_apply(q1, cp_b1) + pos1
+
+    cp_b2 = quat_apply(quat_invert(q2), contact_pts - pos2)
+    if detach_contact_b2:
+        cp_b2 = jax.lax.stop_gradient(cp_b2)
+
+    d2, n2 = bd2.query_sdfs(cp_b2)
+
+    if bd1.is_sdf and with_stability:
+        # 6-point Laplacian stability test (contacts.py:184-202)
+        eye = jnp.eye(3, dtype=cp_b1.dtype) * eps
+        lap1 = jnp.zeros_like(d1)
+        lap2 = jnp.zeros_like(d2)
+        for i in range(3):
+            lap1 = lap1 + (
+                bd1.query_sdfs(cp_b1 + eye[i], return_grads=False)
+                - 2 * d1
+                + bd1.query_sdfs(cp_b1 - eye[i], return_grads=False)
+            )
+            lap2 = lap2 + (
+                bd2.query_sdfs(cp_b2 + eye[i], return_grads=False)
+                - 2 * d2
+                + bd2.query_sdfs(cp_b2 - eye[i], return_grads=False)
+            )
+        stable = (jnp.abs(lap2) < jnp.abs(lap1))[..., None]
+        normals = quat_apply(q2, n2) * stable - quat_apply(q1, n1) * (~stable)
+    else:
+        normals = quat_apply(q2, n2)
+
+    p1 = quat_apply(q1, cp_b1)
+    p2 = quat_apply(q2, cp_b2 - d2[..., None] * n2)
+    pen = -d2
+    vm = valid
+    return (
+        jnp.where(vm[..., None], normals, 0.0),
+        jnp.where(vm[..., None], p1, 0.0),
+        jnp.where(vm[..., None], p2, 0.0),
+        jnp.where(vm, pen, -1.0),
+    )
+
+
+def find_contacts_pair(
+    bd1: BodyDef,
+    q1,
+    pos1,
+    bd2: BodyDef,
+    q2,
+    pos2,
+    cfg: SimConfig,
+):
+    """One directed pair: FW search (no grad) -> filter -> differentiable
+    recompute. Returns per-slot (normal, p1, p2, pen, valid) with K =
+    cfg.max_contacts_per_pair slots plus the pair's max penetration over ALL
+    candidates (for step acceptance, reference world.py:270)."""
+    k = cfg.max_contacts_per_pair
+
+    def q2_query(pts):
+        return bd2.query_sdfs(pts)
+
+    # ---- gradient-free search phase ----
+    sg = jax.lax.stop_gradient
+    q1s, p1s, q2s, p2s = sg(q1), sg(pos1), sg(q2), sg(pos2)
+    bd1s = jax.tree_util.tree_map(sg, bd1)
+    bd2s = jax.tree_util.tree_map(sg, bd2)
+
+    verts_b2 = quat_apply(quat_invert(q2s), quat_apply(q1s, bd1s.verts) + p1s - p2s)
+    fw = frank_wolfe(
+        verts_b2, jnp.asarray(bd1.faces), lambda p: bd2s.query_sdfs(p), cfg.eps, cfg.tol, cfg.fw_iters
+    )
+
+    push_fn = None
+    if bd1.is_sdf:
+        q21 = quat_multiply(quat_invert(q2s), q1s)
+        tri1 = bd1s.verts[jnp.asarray(bd1.faces)]
+
+        def push_fn(abc):
+            x_b1 = jnp.sum(tri1 * abc[..., None], axis=1)
+            s1, g1 = bd1s.query_sdfs(x_b1)
+            return -s1[..., None] * quat_apply(q21, g1)
+
+    fw = finalize_fw(fw, lambda p: bd2s.query_sdfs(p), cfg.eps, push_fn)
+
+    # no-grad contact quantities over all faces (for filtering + acceptance)
+    n_ng, p1_ng, _, pen_ng = _compute_contacts(
+        bd1s, q1s, p1s, bd2s, q2s, p2s,
+        sg(fw.abc), jnp.arange(fw.abc.shape[0]), fw.contact_mask,
+        cfg.eps, cfg.detach_contact_b2, with_stability=True,
+    )
+    max_pen = jnp.max(jnp.where(fw.contact_mask, pen_ng, -jnp.inf))
+
+    sel_idx, sel_valid = filter_contacts(n_ng, p1_ng, fw.contact_mask, k_out=k)
+
+    # ---- differentiable recompute of the selected contacts ----
+    abc_sel = sg(fw.abc)[sel_idx]
+    normals, p1c, p2c, pens = _compute_contacts(
+        bd1, q1, pos1, bd2, q2, pos2,
+        abc_sel, sel_idx, sel_valid,
+        cfg.eps, cfg.detach_contact_b2, with_stability=True,
+    )
+    return normals, p1c, p2c, pens, sel_valid, max_pen
+
+
+def find_contacts(
+    bodies: Sequence[BodyDef],
+    quat,
+    pos,
+    directed_pairs: Sequence[DirectedPair],
+    n_unordered: int,
+    cfg: SimConfig,
+) -> Contacts:
+    """All pairs -> global compacted contact buffer (K_total slots)."""
+    dtype = quat.dtype
+    per_pair = []
+    pair_pens = {}
+    for dp in directed_pairs:
+        bd1, bd2 = bodies[dp.b1], bodies[dp.b2]
+        n, p1c, p2c, pens, valid, max_pen = find_contacts_pair(
+            bd1, quat[dp.b1], pos[dp.b1], bd2, quat[dp.b2], pos[dp.b2], cfg
+        )
+        gate = jnp.asarray(True)
+        if dp.overlap_test:
+            gate = _overlap(bd1, quat[dp.b1], pos[dp.b1], bd2, quat[dp.b2], pos[dp.b2])
+        if dp.gated:
+            # direction 2 only when direction 1's step was valid
+            # (contacts.py:238-240)
+            gate = gate & (pair_pens[dp.pair_id] <= cfg.tol)
+        valid = valid & gate
+        max_pen = jnp.where(gate, max_pen, -jnp.inf)
+        prev = pair_pens.get(dp.pair_id, -jnp.inf)
+        pair_pens[dp.pair_id] = jnp.maximum(prev, max_pen)
+        k = valid.shape[0]
+        per_pair.append(
+            dict(
+                normal=n, p1=p1c, p2=p2c, pen=pens, valid=valid,
+                i1=jnp.full((k,), dp.b1, dtype=jnp.int32),
+                i2=jnp.full((k,), dp.b2, dtype=jnp.int32),
+                pair_id=jnp.full((k,), dp.pair_id, dtype=jnp.int32),
+            )
+        )
+
+    if not per_pair:
+        kt = cfg.max_contacts_total
+        zero3 = jnp.zeros((kt, 3), dtype=dtype)
+        return Contacts(
+            normal=zero3, p1=zero3, p2=zero3,
+            pen=jnp.full((kt,), -1.0, dtype=dtype),
+            valid=jnp.zeros((kt,), dtype=bool),
+            i1=jnp.zeros((kt,), dtype=jnp.int32),
+            i2=jnp.zeros((kt,), dtype=jnp.int32),
+            pair_id=jnp.zeros((kt,), dtype=jnp.int32),
+            max_pen_all=jnp.asarray(-jnp.inf, dtype=dtype),
+            pair_active=jnp.zeros((max(n_unordered, 1),), dtype=bool),
+        )
+
+    cat = {key: jnp.concatenate([p[key] for p in per_pair]) for key in per_pair[0]}
+    s = cat["valid"].shape[0]
+    kt = cfg.max_contacts_total
+
+    # stable compaction: valid slots first
+    keys = jnp.where(cat["valid"], jnp.arange(s), s + jnp.arange(s))
+    order = jnp.argsort(keys)[:kt]
+    take = lambda a: a[order]
+
+    valid = take(cat["valid"])
+    pair_id = take(cat["pair_id"])
+    max_pen_all = jnp.max(
+        jnp.stack([pair_pens[pid] for pid in sorted(pair_pens)])
+    )
+    pair_active = jnp.zeros((max(n_unordered, 1),), dtype=bool).at[pair_id].max(valid)
+
+    return Contacts(
+        normal=take(cat["normal"]),
+        p1=take(cat["p1"]),
+        p2=take(cat["p2"]),
+        pen=take(cat["pen"]),
+        valid=valid,
+        i1=take(cat["i1"]),
+        i2=take(cat["i2"]),
+        pair_id=pair_id,
+        max_pen_all=max_pen_all,
+        pair_active=pair_active,
+    )

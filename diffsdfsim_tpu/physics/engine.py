@@ -1,0 +1,268 @@
+"""Dynamics assembly and the PDIPM engine.
+
+Port of the reference `PdipmEngine` (`lcp_physics/physics/engines.py:16-121`)
+plus the matrix builders from `World`/`World3D`
+(`lcp_physics/physics/world.py:402-501`, `sdf_physics/physics3d/world.py:
+48-101`) to fixed-shape masked assembly:
+
+- M: block-diagonal of per-body [R I Rᵀ, m I₃] (world3d.py:48-50,
+  bodies.py:429-435); rebuilt every call because it rotates with the body
+- Je: static joint rows scattered into static body columns
+- Jc: per-contact rows [c×n, n | -(c₂×n), -n] scattered by DYNAMIC body
+  index one-hots (contacts are compacted across pairs)
+- Jf: friction pyramid, 4 or 8 directions ± (world3d.py:72-101)
+- mu/E/restitutions: per-contact averages and the selector pattern
+  (world.py:480-501)
+- padded (invalid) contact slots get zero G rows and h = 1 on all their
+  inequality rows, making them strictly feasible and inert in the LCP.
+
+``solve_dynamics`` branches (lax.cond) between the exact equality-constrained
+linear solve (no contacts, engines.py:42-54 / Cline eq. 2.41) and the mixed
+LCP (engines.py:56-82).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..ops.qp import lcp_solve
+from ..utils.quaternion import quat_to_matrix
+from ..utils.spherical import normalize, orthogonal
+from .contacts import Contacts
+
+
+def mass_matrix(bodies, quat):
+    """(6B, 6B) block-diagonal generalized mass matrix."""
+    nb = len(bodies)
+    dtype = quat.dtype
+    M = jnp.zeros((6 * nb, 6 * nb), dtype=dtype)
+    for b, bd in enumerate(bodies):
+        R = quat_to_matrix(quat[b])
+        M = M.at[6 * b : 6 * b + 3, 6 * b : 6 * b + 3].set(R @ bd.ang_inertia @ R.T)
+        M = M.at[6 * b + 3 : 6 * b + 6, 6 * b + 3 : 6 * b + 6].set(
+            jnp.eye(3, dtype=dtype) * bd.mass
+        )
+    return M
+
+
+def joint_jacobian(joints, nb, state):
+    """(neq, 6B) equality Jacobian (reference Je, world.py:414-428)."""
+    neq = sum(j.num_constraints for j in joints)
+    dtype = state.quat.dtype
+    Je = jnp.zeros((max(neq, 0), 6 * nb), dtype=dtype)
+    row = 0
+    for j in joints:
+        J1, J2 = j.rows(state)
+        r = j.num_constraints
+        Je = Je.at[row : row + r, 6 * j.body1 : 6 * j.body1 + 6].set(J1.astype(dtype))
+        if J2 is not None:
+            Je = Je.at[row : row + r, 6 * j.body2 : 6 * j.body2 + 6].set(J2.astype(dtype))
+        row += r
+    return Je
+
+
+def _maybe_detach(x, flag):
+    return jax.lax.stop_gradient(x) if flag else x
+
+
+def contact_jacobian(contacts: Contacts, nb: int, stop_grad: bool):
+    """(K, 6B) normal contact Jacobian (world3d.py:56-70)."""
+    n = _maybe_detach(contacts.normal, stop_grad)
+    p1 = _maybe_detach(contacts.p1, stop_grad)
+    p2 = _maybe_detach(contacts.p2, stop_grad)
+    vm = contacts.valid[:, None].astype(n.dtype)
+
+    J1 = jnp.concatenate([jnp.cross(p1, n), n], axis=-1) * vm  # (K,6)
+    J2 = -jnp.concatenate([jnp.cross(p2, n), n], axis=-1) * vm
+
+    oh1 = jax.nn.one_hot(contacts.i1, nb, dtype=n.dtype)  # (K,B)
+    oh2 = jax.nn.one_hot(contacts.i2, nb, dtype=n.dtype)
+    Jc = jnp.einsum("kb,kx->kbx", oh1, J1) + jnp.einsum("kb,kx->kbx", oh2, J2)
+    return Jc.reshape(Jc.shape[0], 6 * nb)
+
+
+def friction_dirs(n, fric_dirs: int):
+    """(K, fd, 3) pyramid directions (world3d.py:84-94)."""
+    dir1 = normalize(orthogonal_batch(n))
+    dir2 = normalize(jnp.cross(dir1, n))
+    dirs = [dir1, dir2]
+    if fric_dirs == 8:
+        dir3 = normalize(dir1 + dir2)
+        dir4 = normalize(jnp.cross(dir3, n))
+        dirs += [dir3, dir4]
+    base = jnp.stack(dirs, axis=1)  # (K, fd/2, 3)
+    return jnp.concatenate([base, -base], axis=1)
+
+
+def orthogonal_batch(v):
+    """Vectorized `orthogonal` over (K,3)."""
+    return jax.vmap(orthogonal)(v)
+
+
+def friction_jacobian(contacts: Contacts, nb: int, fric_dirs: int, stop_grad: bool):
+    """(K*fd, 6B) friction Jacobian (world3d.py:72-101)."""
+    n = _maybe_detach(contacts.normal, stop_grad)
+    p1 = _maybe_detach(contacts.p1, stop_grad)
+    p2 = _maybe_detach(contacts.p2, stop_grad)
+    k = n.shape[0]
+    vm = contacts.valid[:, None, None].astype(n.dtype)
+
+    dirs = friction_dirs(n, fric_dirs) * vm  # (K, fd, 3)
+    J1 = jnp.concatenate(
+        [jnp.cross(jnp.broadcast_to(p1[:, None, :], dirs.shape), dirs), dirs], axis=-1
+    )  # (K, fd, 6)
+    J2 = jnp.concatenate(
+        [jnp.cross(jnp.broadcast_to(p2[:, None, :], dirs.shape), dirs), dirs], axis=-1
+    )
+
+    oh1 = jax.nn.one_hot(contacts.i1, nb, dtype=n.dtype)
+    oh2 = jax.nn.one_hot(contacts.i2, nb, dtype=n.dtype)
+    Jf = jnp.einsum("kb,kdx->kdbx", oh1, J1) - jnp.einsum("kb,kdx->kdbx", oh2, J2)
+    return Jf.reshape(k * fric_dirs, 6 * nb)
+
+
+def contact_coeffs(contacts: Contacts, bodies):
+    """Per-contact friction coefficient and restitution averages
+    (world.py:480-491, :402-409)."""
+    fric = jnp.stack([b.fric_coeff for b in bodies])
+    rest = jnp.stack([b.restitution for b in bodies])
+    mu = 0.5 * (fric[contacts.i1] + fric[contacts.i2])
+    restitution = 0.5 * (rest[contacts.i1] + rest[contacts.i2])
+    return mu, restitution
+
+
+def apply_forces(bodies, forces, t):
+    """(6B,) generalized force vector (Σ per-body force objects)."""
+    out = []
+    for bd, flist in zip(bodies, forces):
+        f = jnp.zeros(6, dtype=bd.mass.dtype)
+        for force in flist:
+            f = f + force.force(t, bd)
+        out.append(f)
+    return jnp.concatenate(out)
+
+
+def solve_dynamics(bodies, joints, forces, state, contacts: Contacts, dt, cfg: SimConfig):
+    """New generalized velocities after impulse solve (engines.py:31-83)."""
+    nb = len(bodies)
+    dtype = state.v.dtype
+    v = state.v.reshape(-1)
+
+    M = mass_matrix(bodies, state.quat)
+    Je = joint_jacobian(joints, nb, state)
+    neq = Je.shape[0]
+    f = apply_forces(bodies, forces, state.t)
+    u = M @ v + dt * f
+
+    def no_contact_branch(_):
+        if neq > 0:
+            P = jnp.concatenate(
+                [
+                    jnp.concatenate([M, -Je.T], axis=1),
+                    jnp.concatenate([Je, jnp.zeros((neq, neq), dtype=dtype)], axis=1),
+                ]
+            )
+            rhs = jnp.concatenate([u, jnp.zeros(neq, dtype=dtype)])
+            x = jnp.linalg.solve(P, rhs)
+        else:
+            x = jnp.linalg.solve(M, u)
+        return x[: 6 * nb]
+
+    def contact_branch(_):
+        k = contacts.valid.shape[0]
+        fd = cfg.fric_dirs
+        Jc = contact_jacobian(contacts, nb, cfg.stop_contact_grad)
+        Jf = friction_jacobian(contacts, nb, fd, cfg.stop_friction_grad)
+        mu, restitution = contact_coeffs(contacts, bodies)
+
+        # E selector (world.py:493-501)
+        E = jnp.repeat(jnp.eye(k, dtype=dtype), fd, axis=0)  # (k*fd, k)
+
+        G = jnp.concatenate([Jc, Jf, jnp.zeros((k, 6 * nb), dtype=dtype)])
+        nineq = G.shape[0]
+        F = jnp.zeros((nineq, nineq), dtype=dtype)
+        F = F.at[k : k + k * fd, -k:].set(E)
+        F = F.at[-k:, :k].set(jnp.diag(mu))
+        F = F.at[-k:, k : k + k * fd].set(-E.T)
+
+        hvec = jnp.concatenate(
+            [
+                (Jc @ v) * restitution,
+                jnp.zeros(k * fd + k, dtype=dtype),
+            ]
+        )
+        # padded slots: strictly feasible inert rows (h = 1)
+        invalid = ~contacts.valid
+        pad = jnp.concatenate(
+            [invalid, jnp.repeat(invalid, fd), invalid]
+        ).astype(dtype)
+        hvec = hvec + pad
+
+        x = lcp_solve(
+            M[None],
+            u[None],
+            G[None],
+            hvec[None],
+            Je[None] if neq > 0 else jnp.zeros((1, 0, 6 * nb), dtype=dtype),
+            jnp.zeros((1, neq), dtype=dtype),
+            F[None],
+            cfg.solver_max_iter,
+            cfg.solver_eps,
+            3,
+        )
+        return -x[0, : 6 * nb]
+
+    any_contact = jnp.any(contacts.valid)
+    return jax.lax.cond(any_contact, contact_branch, no_contact_branch, operand=None)
+
+
+def post_stabilization(bodies, joints, state, contacts: Contacts, cfg: SimConfig):
+    """Positional correction velocities (engines.py:85-121)."""
+    nb = len(bodies)
+    dtype = state.v.dtype
+    v = state.v.reshape(-1)
+    M = mass_matrix(bodies, state.quat)
+    Je = joint_jacobian(joints, nb, state)
+    neq = Je.shape[0]
+    ge = Je @ v
+
+    def no_contact_branch(_):
+        u = jnp.concatenate([jnp.zeros(6 * nb, dtype=dtype), ge])
+        if neq > 0:
+            P = jnp.concatenate(
+                [
+                    jnp.concatenate([M, -Je.T], axis=1),
+                    jnp.concatenate([Je, jnp.zeros((neq, neq), dtype=dtype)], axis=1),
+                ]
+            )
+            x = jnp.linalg.solve(P, u)
+        else:
+            x = jnp.linalg.solve(M, u[: 6 * nb])
+        return -x[: 6 * nb]
+
+    def contact_branch(_):
+        Jc = contact_jacobian(contacts, nb, cfg.stop_contact_grad)
+        _, restitution = contact_coeffs(contacts, bodies)
+        gc = (Jc @ v) + (Jc @ v) * -restitution
+        # inert rows for padded slots
+        gc = gc + (~contacts.valid).astype(dtype)
+        k = Jc.shape[0]
+        F = jnp.zeros((k, k), dtype=dtype)
+        x = lcp_solve(
+            M[None],
+            jnp.zeros((1, 6 * nb), dtype=dtype),
+            Jc[None],
+            gc[None],
+            Je[None] if neq > 0 else jnp.zeros((1, 0, 6 * nb), dtype=dtype),
+            ge[None] if neq > 0 else jnp.zeros((1, 0), dtype=dtype),
+            F[None],
+            cfg.solver_max_iter,
+            cfg.solver_eps,
+            3,
+        )
+        return -x[0, : 6 * nb]
+
+    any_contact = jnp.any(contacts.valid)
+    return jax.lax.cond(any_contact, contact_branch, no_contact_branch, operand=None)

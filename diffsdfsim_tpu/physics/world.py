@@ -1,0 +1,359 @@
+"""World: state pytree, step machinery, TOC replay, rollout scan.
+
+TPU-native redesign of the reference stepping core
+(`lcp_physics/physics/world.py:39-379` + `sdf_physics/physics3d/world.py`):
+
+- ``WorldState`` is a pytree (SoA over bodies) carrying pose, velocity, the
+  padded contact buffer, and the TOC bookkeeping (`last_dt`, `had_toc`)
+- dt-bisection (reference world.py:344-356: halve dt until penetration-free,
+  floor dt/2^10) is a **gradient-free search** (`lax.while_loop` over stopped
+  gradients) followed by ONE **differentiable replay** at the found dt — the
+  exact autodiff semantics of the reference, whose failed attempts are
+  discarded from the graph
+- the TOC differential (world.py:272-341) re-emits dt through
+  ``ops.toc.toc_dt`` (custom_vjp) and replays the move; consecutive-step
+  pairing ``dt_ = -last_dt + (last_dt.detach() + dt)`` (world.py:253-257) is
+  a masked carry
+- a fixed-dt frame is a bounded ``lax.scan`` of substeps (the reference's
+  ``while self.t < end_t`` loop, world.py:129-134); a rollout is a scan of
+  frames; trajectories are stacked (T, S, ...) arrays with validity masks
+- ``detach_2nd_bounce`` (optim_sphere.py:163-177) is a rollout-carry rule:
+  after the 2nd contacting frame, restore the pre-frame state with detached
+  pose/velocity and re-simulate the frame.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import SimConfig, default_dtype
+from ..utils.quaternion import integrate_quat, quat_to_matrix, so3_exp_map
+from ..ops.toc import TocArgs, toc_dt
+from .bodies import BodyDef
+from .contacts import Contacts, DirectedPair, find_contacts
+from .engine import apply_forces, post_stabilization, solve_dynamics
+
+
+@struct.dataclass
+class WorldState:
+    quat: jnp.ndarray  # (B,4) wxyz
+    pos: jnp.ndarray  # (B,3)
+    v: jnp.ndarray  # (B,6) [omega, vel]
+    t: jnp.ndarray  # ()
+    contacts: Contacts
+    last_dt: jnp.ndarray  # ()
+    had_toc: jnp.ndarray  # () bool
+
+
+class WorldSpec:
+    """Static world description (bodies may hold traced arrays; construct
+    inside your jit/vmap boundary, like the reference rebuilds worlds every
+    optimizer iteration, optim_sphere.py:238)."""
+
+    def __init__(
+        self,
+        bodies: Sequence[BodyDef],
+        joints: Sequence = (),
+        forces: Sequence[Sequence] = (),
+        no_contact: Sequence[tuple] = (),
+        cfg: SimConfig = SimConfig(),
+    ):
+        self.bodies = tuple(bodies)
+        self.joints = tuple(joints)
+        if not forces:
+            forces = tuple(() for _ in bodies)
+        self.forces = tuple(tuple(f) for f in forces)
+        self.cfg = cfg
+
+        nc = {tuple(sorted(p)) for p in no_contact}
+        pairs = []
+        directed = []
+        for i in range(len(bodies)):
+            for j in range(i + 1, len(bodies)):
+                if (i, j) in nc:
+                    continue
+                si, sj = bodies[i].is_sdf, bodies[j].is_sdf
+                if not (si or sj):
+                    continue  # reference asserts at least one SDF body
+                pid = len(pairs)
+                pairs.append((i, j))
+                if si and sj:
+                    directed.append(DirectedPair(i, j, pid, gated=False, overlap_test=True))
+                    directed.append(DirectedPair(j, i, pid, gated=True, overlap_test=True))
+                elif sj:
+                    directed.append(DirectedPair(i, j, pid, gated=False, overlap_test=False))
+                else:
+                    directed.append(DirectedPair(j, i, pid, gated=False, overlap_test=False))
+        self.pairs = tuple(pairs)
+        self.directed_pairs = tuple(directed)
+        self.n_unordered = max(len(pairs), 1)
+
+
+def make_world(
+    bodies: Sequence[BodyDef],
+    poses,
+    vels,
+    joints: Sequence = (),
+    forces: Sequence[Sequence] = (),
+    no_contact: Sequence[tuple] = (),
+    cfg: SimConfig = SimConfig(),
+):
+    """Build (spec, initial state). `poses` (B,7) [quat wxyz | pos] or (B,3)
+    positions; `vels` (B,6) or (B,3) linear."""
+    dtype = default_dtype()
+    spec = WorldSpec(bodies, joints, forces, no_contact, cfg)
+    poses = jnp.asarray(poses, dtype=dtype)
+    if poses.shape[-1] == 3:
+        nb = poses.shape[0]
+        quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype=dtype), (nb, 1))
+        pos = poses
+    else:
+        quat = poses[:, :4]
+        pos = poses[:, 4:]
+    vels = jnp.asarray(vels, dtype=dtype)
+    if vels.shape[-1] == 3:
+        vels = jnp.concatenate([jnp.zeros_like(vels), vels], axis=-1)
+
+    contacts = find_contacts(
+        spec.bodies, quat, pos, spec.directed_pairs, spec.n_unordered, cfg
+    )
+    state = WorldState(
+        quat=quat,
+        pos=pos,
+        v=vels,
+        t=jnp.zeros((), dtype=dtype),
+        contacts=contacts,
+        last_dt=jnp.asarray(cfg.dt, dtype=dtype),
+        had_toc=jnp.zeros((), dtype=bool),
+    )
+    return spec, state
+
+
+def _integrate(quat, pos, v, dt):
+    """Semi-implicit Euler pose update (reference Body3D.move,
+    bodies.py:488-496)."""
+    new_quat = integrate_quat(quat, v[:, :3], dt)
+    new_pos = pos + v[:, 3:] * dt
+    return new_quat, new_pos
+
+
+def _attempt(spec: WorldSpec, state: WorldState, dt_):
+    """One trial step at dt_: solve dynamics (with the contact set at step
+    start), move, find contacts, check penetration."""
+    cfg = spec.cfg
+    new_v6 = solve_dynamics(
+        spec.bodies, spec.joints, spec.forces, state, state.contacts, dt_, cfg
+    )
+    new_v = new_v6.reshape(-1, 6)
+    q2, p2 = _integrate(state.quat, state.pos, new_v, dt_)
+    contacts = find_contacts(
+        spec.bodies, q2, p2, spec.directed_pairs, spec.n_unordered, cfg
+    )
+    ok = contacts.max_pen_all <= cfg.tol
+    return new_v, q2, p2, contacts, ok
+
+
+def _search_halvings(spec: WorldSpec, state: WorldState, dt_frame):
+    """Gradient-free bisection search: smallest k with a penetration-free
+    step at dt_frame / 2^k (reference world.py:344-356)."""
+    sg = jax.lax.stop_gradient
+    state = jax.tree_util.tree_map(sg, state)
+    dt_frame = sg(dt_frame)
+
+    def trial(k):
+        *_, ok = _attempt(spec, state, dt_frame * 0.5**k)
+        return ok
+
+    def cond(c):
+        k, ok = c
+        return (~ok) & (k < spec.cfg.max_bisect)
+
+    def body(c):
+        k, _ = c
+        k2 = k + 1
+        return k2, trial(k2.astype(dt_frame.dtype))
+
+    k0 = jnp.zeros((), dtype=jnp.int32)
+    k, ok = jax.lax.while_loop(cond, body, (k0, trial(jnp.zeros((), dtype=dt_frame.dtype))))
+    return k, ok
+
+
+class StepRecord(NamedTuple):
+    t: jnp.ndarray
+    quat: jnp.ndarray
+    pos: jnp.ndarray
+    v: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def step_dt(spec: WorldSpec, state: WorldState, dt_frame):
+    """One substep (reference step_dt, world.py:241-379): bisection search,
+    differentiable replay, TOC re-emission, optional post-stabilization."""
+    cfg = spec.cfg
+    dtype = state.pos.dtype
+
+    k, _ = _search_halvings(spec, state, dt_frame)
+    dt_k = dt_frame * 0.5 ** k.astype(dtype)
+
+    # TOC pairing with the previous step (world.py:253-257)
+    use_pair = state.had_toc if cfg.time_of_contact_diff else jnp.asarray(False)
+    dt_paired = -state.last_dt + (jax.lax.stop_gradient(state.last_dt) + dt_k)
+    dt_ = jnp.where(use_pair, dt_paired, dt_k)
+
+    new_v, q2, p2, contacts, _ = _attempt(spec, state, dt_)
+
+    if cfg.time_of_contact_diff:
+        # contacts new in this step: pair had no valid contact at step start
+        # (world.py:272-274 compares body-index sets)
+        toc_mask = contacts.valid & ~state.contacts.pair_active[contacts.pair_id]
+        any_toc = jnp.any(toc_mask)
+
+        af = apply_forces(spec.bodies, spec.forces, state.t).reshape(-1, 6)
+        masses = jnp.stack([b.mass for b in spec.bodies])
+        accel = af / masses[:, None]
+
+        i1, i2 = contacts.i1, contacts.i2
+        vs1, vs2 = new_v[i1], new_v[i2]
+        poss1 = p2[i1] - dt_ * vs1[:, 3:]
+        poss2 = p2[i2] - dt_ * vs2[:, 3:]
+        rot_back1 = so3_exp_map(-dt_ * vs1[:, :3])
+        rot_back2 = so3_exp_map(-dt_ * vs2[:, :3])
+        rots1 = rot_back1 @ quat_to_matrix(q2[i1])
+        rots2 = rot_back2 @ quat_to_matrix(q2[i2])
+        cs1 = (jnp.swapaxes(rots1, -1, -2) @ contacts.p1[..., None])[..., 0]
+        cs2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.p2[..., None])[..., 0]
+        ns2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.normal[..., None])[..., 0]
+
+        args = TocArgs(
+            cs1=cs1, cs2=cs2, vs1=vs1, vs2=vs2,
+            poss1=poss1, poss2=poss2, rots1=rots1, rots2=rots2,
+            ns2=ns2, as1=accel[i1], as2=accel[i2],
+        )
+        dt_toc = toc_dt(dt_, args, toc_mask)
+        # redo the move with the gradient-carrying dt (world.py:329-341);
+        # numerically identical, so always replay
+        q2, p2 = _integrate(state.quat, state.pos, new_v, dt_toc)
+        last_dt = jnp.where(any_toc, dt_toc, state.last_dt)
+        had_toc = any_toc
+    else:
+        last_dt = state.last_dt
+        had_toc = jnp.zeros((), dtype=bool)
+
+    if cfg.post_stab:
+        dp = post_stabilization(
+            spec.bodies, spec.joints,
+            WorldState(q2, p2, new_v, state.t, contacts, last_dt, had_toc),
+            contacts, cfg,
+        ).reshape(-1, 6) / 2.0
+        q2, p2 = _integrate(q2, p2, dp, dt_k)
+        contacts = find_contacts(
+            spec.bodies, q2, p2, spec.directed_pairs, spec.n_unordered, cfg
+        )
+
+    new_state = WorldState(
+        quat=q2,
+        pos=p2,
+        v=new_v,
+        t=state.t + jax.lax.stop_gradient(dt_k),
+        contacts=contacts,
+        last_dt=last_dt,
+        had_toc=had_toc,
+    )
+    rec = StepRecord(
+        t=state.t, quat=q2, pos=p2, v=new_v, valid=jnp.asarray(True)
+    )
+    return new_state, rec
+
+
+def _tree_select(pred, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(jnp.reshape(pred, (1,) * x.ndim), x, y), a, b
+    )
+
+
+def step_frame(spec: WorldSpec, state: WorldState):
+    """One fixed-dt frame: substep until t reaches end_t (reference
+    World.step(fixed_dt=True), world.py:119-139), bounded by
+    cfg.max_substeps."""
+    cfg = spec.cfg
+    end_t = state.t + cfg.dt
+
+    def sub(carry, _):
+        st, had_contacts = carry
+        remaining = end_t - st.t
+        active = remaining > cfg.dt * 1e-6
+
+        def do(st):
+            return step_dt(spec, st, jnp.maximum(remaining, cfg.dt * 1e-6))
+
+        def skip(st):
+            rec = StepRecord(
+                t=st.t, quat=st.quat, pos=st.pos, v=st.v, valid=jnp.asarray(False)
+            )
+            return st, rec
+
+        new_st, rec = jax.lax.cond(active, do, skip, st)
+        rec = rec._replace(valid=rec.valid & active)
+        had = had_contacts | (active & jnp.any(new_st.contacts.valid))
+        return (new_st, had), rec
+
+    (state2, had_contacts), recs = jax.lax.scan(
+        sub, (state, jnp.asarray(False)), None, length=cfg.max_substeps
+    )
+    return state2, had_contacts, recs
+
+
+class Trajectory(NamedTuple):
+    """(T, S, ...) stacked per-substep records with validity mask."""
+
+    t: jnp.ndarray
+    quat: jnp.ndarray
+    pos: jnp.ndarray
+    v: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def rollout(
+    spec: WorldSpec,
+    state: WorldState,
+    n_frames: int,
+    detach_2nd_bounce: bool = False,
+) -> tuple[WorldState, Trajectory]:
+    """Scan n_frames fixed-dt frames (reference run_world_fixed_dt,
+    optim_sphere.py:163-177, including the detach-2nd-bounce gradient
+    truncation)."""
+
+    def frame(carry, _):
+        st, n_contact_steps = carry
+        pre = st
+        st2, had_contacts, recs = step_frame(spec, st)
+
+        if detach_2nd_bounce:
+            n2 = n_contact_steps + had_contacts.astype(jnp.int32)
+            trigger = had_contacts & (n2 > 1)
+            sg = jax.lax.stop_gradient
+            restored = WorldState(
+                quat=sg(pre.quat),
+                pos=sg(pre.pos),
+                v=sg(pre.v),
+                t=pre.t,
+                contacts=pre.contacts,
+                last_dt=sg(pre.last_dt),
+                had_toc=pre.had_toc,
+            )
+            st3 = _tree_select(trigger, restored, st2)
+            n3 = jnp.where(trigger, 0, n2)
+            recs = recs._replace(valid=recs.valid & ~trigger)
+            return (st3, n3), recs
+
+        return (st2, n_contact_steps), recs
+
+    (final, _), recs = jax.lax.scan(
+        frame, (state, jnp.zeros((), dtype=jnp.int32)), None, length=n_frames
+    )
+    traj = Trajectory(t=recs.t, quat=recs.quat, pos=recs.pos, v=recs.v, valid=recs.valid)
+    return final, traj

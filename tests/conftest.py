@@ -1,0 +1,19 @@
+import os
+
+# Force CPU with 8 virtual devices (multi-chip sharding tests) and x64 for
+# parity with the float64 PyTorch reference. NOTE: in this image the axon TPU
+# plugin ignores the JAX_PLATFORMS env var, so the platform must be forced
+# through jax.config before any backend initialization.
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu"
