@@ -92,17 +92,60 @@ def test_resting_contact_stays():
 
 
 def test_rollout_gradient_radius():
-    """Gradient of final height w.r.t. sphere radius is nonzero and finite
-    after a bounce, and matches finite differences."""
-    def final_y(rad):
-        spec, state = sphere_floor_world(rad=rad, height=1.0)
+    """TOC gradient of final height w.r.t. sphere radius after one bounce.
+
+    Ground truth note: the reference's discrete TOC scheme (which we
+    replicate) yields d y_T/d r ≈ (1+e) = 1.5 for this scenario — verified
+    against a hand-derived 1D simulation implementing exactly the reference
+    formulas (world.py:141-257). This deliberately differs from both the
+    finite difference of the discrete forward (which is ~0 without TOC —
+    the paper's motivating failure) and the continuous-time derivative
+    (1+e)(1-(T-t*)/t*) ≈ 0.63; the TOC gradient substitutes the
+    contact-time sensitivity for the (useless) discrete one."""
+
+    def final_y(rad, toc=True):
+        spec, state = sphere_floor_world(rad=rad, height=1.0, toc=toc)
         final, _ = rollout(spec, state, n_frames=15)
         return final.pos[1, 1]
 
     rad0 = jnp.asarray(0.5)
-    g = jax.grad(final_y)(rad0)
-    assert np.isfinite(float(g))
-    eps = 1e-4
-    fd = (float(final_y(rad0 + eps)) - float(final_y(rad0 - eps))) / (2 * eps)
-    assert abs(fd) > 1e-3  # radius must matter after a bounce
-    np.testing.assert_allclose(float(g), fd, rtol=0.25, atol=5e-3)
+    g = float(jax.grad(final_y)(rad0))
+    assert np.isfinite(g)
+    # reference-semantics magnitude (mini-1d gives 1.5; full 3D pipeline
+    # includes accel/rotation terms and two contact directions)
+    assert 0.7 < g < 2.2, g
+
+    # without TOC the frictionless-normal-bounce gradient path vanishes
+    g_no_toc = float(jax.grad(lambda r: final_y(r, toc=False))(rad0))
+    assert abs(g_no_toc) < 0.3, g_no_toc
+
+
+def test_radius_recovery_gd():
+    """Functional acceptance (reference RESULTS.md trajectory-fitting):
+    gradient descent on a trajectory MSE recovers the target radius."""
+
+    def traj_of(rad):
+        spec, state = sphere_floor_world(rad=rad, height=1.0)
+        _, traj = rollout(spec, state, n_frames=20)
+        return traj
+
+    target = traj_of(jnp.asarray(0.6))
+    t_pos = jax.lax.stop_gradient(target.pos[:, :, 1, :])
+    t_valid = jax.lax.stop_gradient(target.valid)
+
+    def loss(rad):
+        traj = traj_of(rad)
+        m = (traj.valid & t_valid)[..., None]
+        return jnp.sum(jnp.where(m, (traj.pos[:, :, 1, :] - t_pos) ** 2, 0.0)) / jnp.sum(m)
+
+    loss_grad = jax.jit(jax.value_and_grad(loss))
+    rad = jnp.asarray(0.45)
+    lr = 0.2
+    losses = []
+    for _ in range(12):
+        val, g = loss_grad(rad)
+        losses.append(float(val))
+        rad = jnp.clip(rad - lr * g, 0.3, 0.9)
+    err0 = abs(0.45 - 0.6)
+    err = abs(float(rad) - 0.6)
+    assert err < 0.5 * err0, (float(rad), losses)
