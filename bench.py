@@ -40,6 +40,9 @@ def _build(dtype_cfg):
         rollout,
     )
 
+    import jax
+
+    f32 = not jax.config.read("jax_enable_x64")
     cfg = SimConfig(
         fric_dirs=8,
         max_contacts_per_pair=4,
@@ -47,6 +50,8 @@ def _build(dtype_cfg):
         mesh_subdiv=2,
         max_substeps=4,
         max_bisect=8,
+        # the reference's f64 tolerances are below f32 resolution; scale them
+        tol=1e-5 if f32 else 1e-8,
         **dtype_cfg,
     )
 
