@@ -1,0 +1,253 @@
+"""Fitting object shape + pose to depth measurements (point clouds).
+
+Re-creation of `experiments/trajectory_fitting/optim_pointcloud.py`: a body
+(sphere or rounded cube) falls under gravity; synthetic depth images of the
+scene are rendered per frame with noise std = factor*d² (reference
+utils.py:97), segmented, and unprojected to point clouds. Optimization has
+two phases (reference :429-656):
+
+  1. first-frame fit: recover initial position/rotation/size from frame 0
+  2. trajectory fit: roll out the simulation from the fitted init and refine
+     size/pose against ALL frames' point clouds
+
+The loss is the mean squared SDF of the observed points in the body frame
+(`match_pointcloud`, reference :166-201), with the segmentation mask eroded
+and the OpenGL camera-frame flip applied (reference :184-187). The reference
+renders with pyrender/EGL; here observations come from the SDF ray-marcher
+(rendering/raymarch.py) in the same camera convention.
+
+Run: python -m diffsdfsim_tpu.experiments.optim_pointcloud with shape=sphere
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import SimConfig, default_dtype
+from ..physics import (
+    BoxShape,
+    RoundedBoxShape,
+    SphereShape,
+    TotalConstraint3D,
+    Gravity3D,
+    make_body,
+    make_world,
+    rollout,
+)
+from ..rendering.raymarch import PinholeCamera, get_pointcloud, render_depth_seg
+from ..utils.quaternion import quat_exp_map, quat_multiply, random_quaternions
+from .common import Run, parse_cli
+
+DEFAULTS = dict(
+    seed=0,
+    shape="sphere",  # sphere | cube
+    run_time=1.0,
+    use_gravity=True,
+    noise_factor=0.002,
+    frame_fit_iters=60,
+    traj_fit_iters=40,
+    lr_pose=1e-2,
+    lr_size=1e-2,
+    width=128,
+    height=96,
+    min_dim=0.4,
+    max_dim=1.2,
+    mesh_subdiv=2,
+    base_dir="outputs",
+)
+
+
+def build_cfg(c) -> SimConfig:
+    f32 = not jax.config.read("jax_enable_x64")
+    return SimConfig(
+        fric_dirs=4,
+        max_contacts_per_pair=4,
+        max_contacts_total=4,
+        mesh_subdiv=c["mesh_subdiv"],
+        max_substeps=3,
+        max_bisect=6,
+        tol=1e-5 if f32 else 1e-8,
+    )
+
+
+def _make_shape(c, size):
+    dtype = default_dtype()
+    if c["shape"] == "sphere":
+        return SphereShape(size)
+    return RoundedBoxShape(jnp.full((3,), 2 * size, dtype=dtype), size * 0.2)
+
+
+def make_scene(c, cfg, size, init_pos, init_quat):
+    dtype = default_dtype()
+    floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0], dtype=dtype)), subdiv=3)
+    body = make_body(_make_shape(c, size), subdiv=c["mesh_subdiv"])
+    poses = jnp.stack(
+        [
+            jnp.asarray([1.0, 0, 0, 0, 0.0, -0.5, 0.0], dtype=dtype),
+            jnp.concatenate([init_quat, init_pos]),
+        ]
+    )
+    vels = jnp.zeros((2, 6), dtype=dtype)
+    spec, state = make_world(
+        [floor, body], poses, vels,
+        joints=(TotalConstraint3D(body1=0),),
+        forces=((), (Gravity3D(10.0),) if c["use_gravity"] else ()),
+        cfg=cfg,
+    )
+    return spec, state
+
+
+def camera_setup(c):
+    """Camera looking down at the scene from the front (reference
+    record_results camera: z=15 tilted view; here closer for resolution)."""
+    cam = PinholeCamera.from_yfov(math.pi / 3, c["width"], c["height"])
+    dtype = default_dtype()
+    theta = math.pi / 8
+    ct, st = math.cos(theta), math.sin(theta)
+    pose = jnp.asarray(
+        [
+            [1, 0, 0, 0.0],
+            [0, ct, -st, 2.0],
+            [0, st, ct, 6.0],
+            [0, 0, 0, 1.0],
+        ],
+        dtype=dtype,
+    )
+    return cam, pose
+
+
+def observe(c, cfg, spec, traj, cam, cam_pose, key, body_idx=1):
+    """Render per-frame depth/seg/pointcloud observations at frame times."""
+    frames = []
+    t_arr = traj.t[:, 0]
+    n = t_arr.shape[0]
+    keys = jax.random.split(key, n)
+    for i in range(n):
+        quat = traj.quat[i, 0]
+        pos = traj.pos[i, 0]
+        depth, seg = render_depth_seg(spec.bodies, quat, pos, cam, cam_pose)
+        pc = get_pointcloud(depth, cam, key=keys[i], noise_factor=c["noise_factor"])
+        frames.append((t_arr[i], pc, seg))
+    return frames
+
+
+def erode_mask(mask):
+    """3x3 binary erosion (reference seg-mask erosion)."""
+    m = mask.astype(jnp.float32)
+    m = -jax.lax.reduce_window(
+        -m, 0.0, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return m > 0.5
+
+
+def match_pointcloud(pc, seg_mask, cam_pose, shape, pos, quat):
+    """Mean squared SDF of observed points in the body frame (reference
+    match_pointcloud, optim_pointcloud.py:166-201)."""
+    from ..physics.shapes import query_sdfs
+    from ..utils.quaternion import quat_apply, quat_invert
+
+    mask = erode_mask(seg_mask)
+    pts = pc.reshape(-1, 3)
+    mask = mask.reshape(-1) & (pts[:, 2] > 1e-6)
+
+    # pixel-convention -> OpenGL camera frame (flip y and z), then to world
+    pts_gl = pts * jnp.asarray([1.0, -1.0, -1.0], dtype=pts.dtype)
+    R = cam_pose[:3, :3]
+    t = cam_pose[:3, 3]
+    pts_w = pts_gl @ R.T + t
+
+    pts_body = quat_apply(quat_invert(quat), pts_w - pos)
+    sdfs = query_sdfs(shape, pts_body, return_grads=False)
+    sq = jnp.where(mask, sdfs**2, 0.0)
+    return jnp.sum(sq) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def main(argv=None):
+    c = parse_cli(DEFAULTS, argv)
+    cfg = build_cfg(c)
+    dtype = default_dtype()
+    run = Run(f"pointcloud_{c['shape']}", c, base_dir=c["base_dir"])
+    key = jax.random.PRNGKey(c["seed"])
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+    # ---- target scene + observations ----
+    target_size = jax.random.uniform(k1, (), minval=c["min_dim"], maxval=c["max_dim"], dtype=dtype)
+    target_pos = jnp.asarray([0.0, 2.0, 0.0], dtype=dtype)
+    target_quat = random_quaternions(k2, 1, dtype=dtype)[0]
+    spec_t, state_t = make_scene(c, cfg, target_size, target_pos, target_quat)
+    n_frames = int(round(c["run_time"] / cfg.dt))
+    _, traj_t = rollout(spec_t, state_t, n_frames=n_frames)
+    # one record per frame (first substep)
+    cam, cam_pose = camera_setup(c)
+    obs = observe(c, cfg, spec_t, jax.tree_util.tree_map(jax.lax.stop_gradient, traj_t), cam, cam_pose, k3)
+    seg_masks = [(seg == 1) for (_, _, seg) in obs]
+
+    # ---- phase 1: first-frame fit ----
+    init_pos = target_pos + jax.random.normal(k4, (3,), dtype) * 0.04
+    init_rot = jnp.zeros(3, dtype)
+    init_size = jnp.asarray(0.5 * (c["min_dim"] + c["max_dim"]), dtype)
+
+    t0, pc0, _ = obs[0]
+
+    def frame_loss(params):
+        pos, rot_vec, size = params
+        quat = quat_multiply(quat_exp_map(rot_vec), target_quat)
+        return match_pointcloud(pc0, seg_masks[0], cam_pose, _make_shape(c, size), pos, quat)
+
+    params = (init_pos, init_rot, init_size)
+    opt = optax.adam(c["lr_pose"])
+    opt_state = opt.init(params)
+    vg1 = jax.jit(jax.value_and_grad(frame_loss))
+    for i in range(c["frame_fit_iters"]):
+        val, g = vg1(params)
+        upd, opt_state = opt.update(g, opt_state)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+        run.log_scalar("frame_fit_loss", float(val), i)
+
+    pos1, rot1, size1 = params
+
+    # ---- phase 2: trajectory fit ----
+    def traj_loss(params):
+        pos, rot_vec, size = params
+        quat = quat_multiply(quat_exp_map(rot_vec), target_quat)
+        spec, state = make_scene(c, cfg, size, pos, quat)
+        _, traj = rollout(spec, state, n_frames=n_frames)
+        loss = 0.0
+        sim_t = traj.t[:, 0]
+        shape = _make_shape(c, size)
+        for (t_o, pc, _), seg in zip(obs, seg_masks):
+            i = jnp.argmin(jnp.abs(sim_t - t_o))
+            loss = loss + match_pointcloud(
+                pc, seg, cam_pose, shape, traj.pos[i, 0, 1], traj.quat[i, 0, 1]
+            )
+        return loss / len(obs)
+
+    params = (pos1, rot1, size1)
+    opt2 = optax.adam(c["lr_size"])
+    opt_state = opt2.init(params)
+    vg2 = jax.jit(jax.value_and_grad(traj_loss))
+    for i in range(c["traj_fit_iters"]):
+        val, g = vg2(params)
+        upd, opt_state = opt2.update(g, opt_state)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+        run.log_scalar("traj_fit_loss", float(val), i)
+
+    pos2, rot2, size2 = params
+    out = dict(
+        target_size=jax.device_get(target_size),
+        target_pos=jax.device_get(target_pos),
+        frame_fit=dict(pos=jax.device_get(pos1), rot=jax.device_get(rot1), size=jax.device_get(size1)),
+        traj_fit=dict(pos=jax.device_get(pos2), rot=jax.device_get(rot2), size=jax.device_get(size2)),
+    )
+    run.save_output(out)
+    run.finish()
+    print("size err frame/traj:", abs(float(size1) - float(target_size)), abs(float(size2) - float(target_size)))
+    return out
+
+
+if __name__ == "__main__":
+    main()

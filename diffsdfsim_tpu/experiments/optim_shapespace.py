@@ -1,0 +1,165 @@
+"""Shape-space trajectory fitting: recover an IGR latent code from a bounce.
+
+Re-creation of `experiments/trajectory_fitting/optim_shapespace.py`: a body
+whose shape is decoded from a learned latent space (IGR MLP) is dropped with
+a random initial rotation; gradient descent on the nearest-time trajectory
+MSE plus an L2 latent regularizer (`latent_reg * ||z||²`, reference :279)
+recovers the latent. The target latent is drawn from the training codes and
+the init is N(mean, 0.1 std) (reference :241-248).
+
+Without the external IGR checkpoint, `--pretrained path/to/ModelParameters
+path/to/LatentCodes` loads real weights (models/igr.load_torch_checkpoint);
+otherwise a geometric-init network (approximate sphere at two latents'
+interpolation) is used so the pipeline stays runnable end-to-end.
+
+Run: python -m diffsdfsim_tpu.experiments.optim_shapespace with seed=0
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import SimConfig, default_dtype
+from ..models.igr import init_implicit_net, load_torch_checkpoint, make_decoder
+from ..physics import (
+    BoxShape,
+    TotalConstraint3D,
+    Gravity3D,
+    make_body,
+    make_world,
+    rollout,
+)
+from ..physics.shapes import LatentShape
+from ..utils.quaternion import random_quaternions
+from .common import Run, parse_cli
+from .losses import trajectory_loss
+
+DEFAULTS = dict(
+    seed=0,
+    run_time=1.2,
+    max_iter=60,
+    lr=1e-2,
+    latent_reg=1e-2,
+    latent_size=2,
+    scale=1.0,
+    mesh_subdiv=2,
+    model_path="",
+    latent_path="",
+    n_par=1,
+    base_dir="outputs",
+)
+
+
+def build_cfg(c) -> SimConfig:
+    f32 = not jax.config.read("jax_enable_x64")
+    return SimConfig(
+        fric_dirs=8,
+        max_contacts_per_pair=4,
+        max_contacts_total=8,
+        mesh_subdiv=c["mesh_subdiv"],
+        max_substeps=4,
+        max_bisect=6,
+        tol=1e-5 if f32 else 1e-8,
+        time_of_contact_diff=True,
+    )
+
+
+def load_decoder(c):
+    if c["model_path"]:
+        params, codes = load_torch_checkpoint(c["model_path"], c["latent_path"])
+        return make_decoder(params), codes
+    params = init_implicit_net(
+        jax.random.PRNGKey(1234), d_in=3 + c["latent_size"], radius_init=0.55
+    )
+    codes = jax.random.normal(
+        jax.random.PRNGKey(4321), (16, c["latent_size"]), dtype=default_dtype()
+    ) * 0.3
+    return make_decoder(params), codes
+
+
+def simulate(latent, quat0, decoder, c, cfg):
+    dtype = default_dtype()
+    floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0], dtype=dtype)), subdiv=3)
+    shape = LatentShape(latent=latent, scale_=jnp.asarray(c["scale"], dtype=dtype), decoder=decoder)
+    body = make_body(shape, subdiv=c["mesh_subdiv"], project_iters=16)
+    poses = jnp.stack(
+        [
+            jnp.asarray([1.0, 0, 0, 0, 0.0, -0.5, 0.0], dtype=dtype),
+            jnp.concatenate([quat0, jnp.asarray([0.0, 2.0, 0.0], dtype=dtype)]),
+        ]
+    )
+    vels = jnp.zeros((2, 6), dtype=dtype).at[1, 3].set(1.0)
+    spec, state = make_world(
+        [floor, body], poses, vels,
+        joints=(TotalConstraint3D(body1=0),),
+        forces=((), (Gravity3D(10.0),)),
+        cfg=cfg,
+    )
+    n_frames = int(round(c["run_time"] / cfg.dt))
+    final, traj = rollout(spec, state, n_frames=n_frames)
+    return final, traj
+
+
+def run_one(key, decoder, codes, c, cfg):
+    dtype = default_dtype()
+    kt, ks, kq = jax.random.split(key, 3)
+    idx = jax.random.randint(kt, (), 0, codes.shape[0])
+    target_latent = codes[idx]
+    mean = jnp.mean(codes, axis=0)
+    std = jnp.std(codes, axis=0)
+    start_latent = mean + 0.1 * std * jax.random.normal(ks, mean.shape, dtype)
+    quat0 = random_quaternions(kq, 1, dtype=dtype)[0]
+
+    _, tgt_traj = simulate(target_latent, quat0, decoder, c, cfg)
+    tgt_traj = jax.tree_util.tree_map(jax.lax.stop_gradient, tgt_traj)
+
+    def loss_fn(z):
+        _, traj = simulate(z, quat0, decoder, c, cfg)
+        return trajectory_loss(traj, tgt_traj, body=1) + c["latent_reg"] * jnp.sum(z**2)
+
+    opt = optax.adam(c["lr"])
+    vg = jax.value_and_grad(loss_fn)
+
+    def step(carry, _):
+        z, s = carry
+        val, g = vg(z)
+        upd, s = opt.update(g, s)
+        return (z + upd, s), (val, jnp.linalg.norm(z - target_latent))
+
+    (z_f, _), (loss_hist, err_hist) = jax.lax.scan(
+        step, (start_latent, opt.init(start_latent)), None, length=c["max_iter"]
+    )
+    return dict(
+        start_latent=start_latent,
+        final_latent=z_f,
+        target_latent=target_latent,
+        loss_hist=loss_hist,
+        latent_err_hist=err_hist,
+    )
+
+
+def main(argv=None):
+    c = parse_cli(DEFAULTS, argv)
+    cfg = build_cfg(c)
+    run = Run("trajectory_fitting_shapespace", c, base_dir=c["base_dir"])
+    decoder, codes = load_decoder(c)
+    keys = jax.random.split(jax.random.PRNGKey(c["seed"]), max(c["n_par"], 1))
+    fn = functools.partial(run_one, decoder=decoder, codes=codes, c=c, cfg=cfg)
+    out = jax.jit(jax.vmap(fn))(keys) if c["n_par"] > 1 else jax.jit(fn)(keys[0])
+    out = jax.tree_util.tree_map(jax.device_get, out)
+    for i, v in enumerate(jnp.asarray(out["loss_hist"]).reshape(c["max_iter"], -1).mean(axis=-1)):
+        run.log_scalar("loss", float(v), i)
+    run.save_output(out)
+    run.finish()
+    print("latent err start->final:",
+          float(jnp.linalg.norm(jnp.asarray(out["start_latent"]) - jnp.asarray(out["target_latent"]))),
+          float(jnp.linalg.norm(jnp.asarray(out["final_latent"]) - jnp.asarray(out["target_latent"]))))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Trajectory fitting: recover a sphere's radius from an observed bounce.
+
+Re-creation of the reference experiment
+`experiments/trajectory_fitting/optim_sphere.py`: a sphere is dropped/thrown
+in a room (floor + wall, TotalConstraint3D), a target trajectory is simulated
+with a random radius, and gradient descent on the nearest-time trajectory MSE
+recovers the radius. Supports the reference's ablations (`use_toc_diff`,
+`detach_2nd_bounce`, gravity/friction on/off, GD/Adam) plus a TPU-native
+extension the reference runs as 50 separate processes (generate_sphere.sh):
+`n_par > 1` vmaps the whole optimization over a seed batch in one SPMD
+program (shardable over a device mesh).
+
+Run: python -m diffsdfsim_tpu.experiments.optim_sphere with seed=0 lr=0.1
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import SimConfig, default_dtype
+from ..physics import (
+    BoxShape,
+    SphereShape,
+    TotalConstraint3D,
+    Gravity3D,
+    make_body,
+    make_world,
+    rollout,
+)
+from ..utils.meshes import chamfer_distance
+from .common import Run, parse_cli
+from .losses import trajectory_loss
+
+DEFAULTS = dict(
+    seed=0,
+    run_time=1.5,
+    max_iter=100,
+    lr=1e-1,
+    conv_thresh=1e-5,
+    optimizer="GD",
+    min_dim=0.4,
+    max_dim=2.0,
+    use_toc_diff=True,
+    detach_2nd_bounce=True,
+    use_wall=True,
+    use_floor=True,
+    use_gravity=True,
+    use_friction=True,
+    n_par=1,
+    mesh_subdiv=2,
+    fric_dirs=8,
+    base_dir="outputs",
+)
+
+
+def build_cfg(c) -> SimConfig:
+    f32 = not jax.config.read("jax_enable_x64")
+    return SimConfig(
+        fric_dirs=c["fric_dirs"],
+        max_contacts_per_pair=4,
+        max_contacts_total=8,
+        mesh_subdiv=c["mesh_subdiv"],
+        max_substeps=4,
+        max_bisect=8,
+        tol=1e-5 if f32 else 1e-8,
+        time_of_contact_diff=c["use_toc_diff"],
+    )
+
+
+def simulate(rad, c, cfg):
+    """Build the world (floor + wall + sphere, optim_sphere.py:78-111) and
+    roll out; returns (final_state, trajectory, sphere_body_index)."""
+    dtype = default_dtype()
+    fric = 0.25 if c["use_friction"] else 0.0
+    rest = 0.5
+    bodies, poses, joints, forces, no_contact = [], [], [], [], []
+    if c["use_floor"]:
+        floor = make_body(
+            BoxShape(jnp.array([20.0, 1.0, 20.0], dtype=dtype)),
+            restitution=rest, fric_coeff=fric, subdiv=3,
+        )
+        bodies.append(floor)
+        poses.append([1.0, 0, 0, 0, 0.0, -0.5, 0.0])
+        joints.append(TotalConstraint3D(body1=len(bodies) - 1))
+        forces.append(())
+    if c["use_wall"]:
+        wall = make_body(
+            BoxShape(jnp.array([1.0, 10.0, 10.0], dtype=dtype)),
+            restitution=rest, fric_coeff=fric, subdiv=3,
+        )
+        bodies.append(wall)
+        poses.append([1.0, 0, 0, 0, 5.0, 5.0, 0.0])
+        joints.append(TotalConstraint3D(body1=len(bodies) - 1))
+        forces.append(())
+        if c["use_floor"]:
+            no_contact.append((0, 1))
+
+    sphere = make_body(
+        SphereShape(rad), restitution=rest, fric_coeff=fric, subdiv=c["mesh_subdiv"]
+    )
+    bodies.append(sphere)
+    sphere_idx = len(bodies) - 1
+    poses.append([1.0, 0, 0, 0, 0.0, 5.0, 0.0])
+    forces.append((Gravity3D(10.0),) if c["use_gravity"] else ())
+
+    vels = jnp.zeros((len(bodies), 6), dtype=dtype).at[sphere_idx, 3].set(5.0)
+    spec, state = make_world(
+        bodies, jnp.asarray(poses, dtype=dtype), vels,
+        joints=joints, forces=forces, no_contact=no_contact, cfg=cfg,
+    )
+    n_frames = int(round(c["run_time"] / cfg.dt))
+    final, traj = rollout(
+        spec, state, n_frames=n_frames, detach_2nd_bounce=c["detach_2nd_bounce"]
+    )
+    return final, traj, sphere_idx, sphere
+
+
+def make_loss(c, cfg):
+    def target_traj(target_rad):
+        _, traj, idx, _ = simulate(target_rad, c, cfg)
+        return jax.lax.stop_gradient(traj), idx
+
+    def loss_fn(rad, tgt_traj, idx):
+        _, traj, _, _ = simulate(rad, c, cfg)
+        return trajectory_loss(traj, tgt_traj, body=idx)
+
+    return target_traj, loss_fn
+
+
+def run_one(key, c, cfg):
+    """One seed: returns (rad_history, loss_history, target_rad, start_rad)."""
+    kt, ks = jax.random.split(key)
+    lo, hi = c["min_dim"], c["max_dim"]
+    target_rad = jax.random.uniform(kt, (), minval=lo, maxval=hi, dtype=default_dtype())
+    start_rad = jax.random.uniform(ks, (), minval=lo, maxval=hi, dtype=default_dtype())
+
+    target_traj_fn, loss_fn = make_loss(c, cfg)
+    tgt_traj, idx = target_traj_fn(target_rad)
+
+    if c["optimizer"] == "Adam":
+        opt = optax.adam(c["lr"])
+    else:
+        opt = optax.sgd(c["lr"])
+
+    vg = jax.value_and_grad(loss_fn)
+
+    def step(carry, _):
+        rad, opt_state = carry
+        val, g = vg(rad, tgt_traj, idx)
+        upd, opt_state = opt.update(g, opt_state)
+        rad = jnp.clip(rad + upd, lo, hi)
+        return (rad, opt_state), (val, rad)
+
+    (rad_f, _), (loss_hist, rad_hist) = jax.lax.scan(
+        step, (start_rad, opt.init(start_rad)), None, length=c["max_iter"]
+    )
+    return dict(
+        start_rad=start_rad,
+        final_rad=rad_f,
+        target_rad=target_rad,
+        loss_hist=loss_hist,
+        rad_hist=rad_hist,
+    )
+
+
+def main(argv=None):
+    c = parse_cli(DEFAULTS, argv)
+    cfg = build_cfg(c)
+    run = Run("trajectory_fitting_sphere", c, base_dir=c["base_dir"])
+
+    keys = jax.random.split(jax.random.PRNGKey(c["seed"]), max(c["n_par"], 1))
+    fn = functools.partial(run_one, c=c, cfg=cfg)
+    if c["n_par"] > 1:
+        out = jax.jit(jax.vmap(fn))(keys)
+    else:
+        out = jax.jit(fn)(keys[0])
+
+    out = jax.tree_util.tree_map(lambda x: jax.device_get(x), out)
+    err = abs(out["final_rad"] - out["target_rad"])
+    for i, v in enumerate(jnp.atleast_1d(jnp.asarray(out["loss_hist"])).reshape(c["max_iter"], -1).mean(axis=-1)):
+        run.log_scalar("loss", float(v), i)
+    run.save_output(out)
+    run.finish()
+    print("radius error:", err)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""System identification: recover mass, push force, or friction coefficient.
+
+Re-creation of `experiments/system_identification/optim_sysid.py`: an object
+rests on the floor and is pushed by a constant horizontal force; the loss is
+the summed position error over the trajectory (:251-253). Named configs pick
+the optimized parameter (mass / force / friction, reference :86-101);
+`strict_no_penetration=False` as in the reference (:76 area).
+
+Run: python -m diffsdfsim_tpu.experiments.optim_sysid with param=friction
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import SimConfig, default_dtype
+from ..physics import (
+    BoxShape,
+    SphereShape,
+    TotalConstraint3D,
+    ExternalForce3D,
+    Gravity3D,
+    make_body,
+    make_world,
+    rollout,
+)
+from .common import Run, parse_cli
+from .losses import trajectory_loss
+
+DEFAULTS = dict(
+    seed=0,
+    param="mass",  # mass | force | friction
+    run_time=1.0,
+    max_iter=100,
+    lr=1e-1,
+    min_val=0.2,
+    max_val=3.0,
+    mesh_subdiv=2,
+    n_par=1,
+    base_dir="outputs",
+)
+
+
+def build_cfg(c) -> SimConfig:
+    f32 = not jax.config.read("jax_enable_x64")
+    return SimConfig(
+        fric_dirs=8,
+        max_contacts_per_pair=4,
+        max_contacts_total=4,
+        mesh_subdiv=c["mesh_subdiv"],
+        max_substeps=4,
+        max_bisect=6,
+        tol=1e-5 if f32 else 1e-8,
+        strict_no_penetration=False,
+        time_of_contact_diff=False,
+        stop_contact_grad=False,
+    )
+
+
+def simulate(theta, c, cfg):
+    """theta maps to the optimized quantity; the others stay at defaults."""
+    dtype = default_dtype()
+    mass = theta if c["param"] == "mass" else jnp.asarray(1.0, dtype=dtype)
+    force_mag = theta if c["param"] == "force" else jnp.asarray(2.0, dtype=dtype)
+    fric = theta if c["param"] == "friction" else jnp.asarray(0.5, dtype=dtype)
+
+    floor = make_body(
+        BoxShape(jnp.array([20.0, 1.0, 20.0], dtype=dtype)), fric_coeff=fric, subdiv=3
+    )
+    cube = make_body(
+        BoxShape(jnp.array([1.0, 1.0, 1.0], dtype=dtype)),
+        mass=mass, fric_coeff=fric, subdiv=2,
+    )
+
+    class Push(ExternalForce3D):
+        def force(self, t, bd):
+            return jnp.concatenate(
+                [jnp.zeros(3, dtype=dtype),
+                 jnp.stack([force_mag, jnp.zeros((), dtype=dtype), jnp.zeros((), dtype=dtype)])]
+            )
+
+    spec, state = make_world(
+        [floor, cube],
+        jnp.asarray(
+            [[1.0, 0, 0, 0, 0.0, -0.5, 0.0], [1.0, 0, 0, 0, 0.0, 0.5, 0.0]],
+            dtype=dtype,
+        ),
+        jnp.zeros((2, 6), dtype=dtype),
+        joints=(TotalConstraint3D(body1=0),),
+        forces=((), (Gravity3D(10.0), Push())),
+        cfg=cfg,
+    )
+    n_frames = int(round(c["run_time"] / cfg.dt))
+    final, traj = rollout(spec, state, n_frames=n_frames)
+    return final, traj
+
+
+def run_one(key, c, cfg):
+    dtype = default_dtype()
+    kt, ks = jax.random.split(key)
+    lo, hi = c["min_val"], c["max_val"]
+    target_theta = jax.random.uniform(kt, (), minval=lo, maxval=hi, dtype=dtype)
+    start_theta = jax.random.uniform(ks, (), minval=lo, maxval=hi, dtype=dtype)
+
+    _, tgt_traj = simulate(target_theta, c, cfg)
+    tgt_traj = jax.lax.stop_gradient(tgt_traj)
+
+    def loss_fn(theta):
+        _, traj = simulate(theta, c, cfg)
+        return trajectory_loss(traj, tgt_traj, body=1)
+
+    opt = optax.adam(c["lr"])
+    vg = jax.value_and_grad(loss_fn)
+
+    def step(carry, _):
+        th, s = carry
+        val, g = vg(th)
+        upd, s = opt.update(g, s)
+        th = jnp.clip(th + upd, lo, hi)
+        return (th, s), (val, th)
+
+    (th_f, _), (loss_hist, th_hist) = jax.lax.scan(
+        step, (start_theta, opt.init(start_theta)), None, length=c["max_iter"]
+    )
+    return dict(
+        start_theta=start_theta,
+        final_theta=th_f,
+        target_theta=target_theta,
+        loss_hist=loss_hist,
+        theta_hist=th_hist,
+    )
+
+
+def main(argv=None):
+    c = parse_cli(DEFAULTS, argv)
+    cfg = build_cfg(c)
+    run = Run(f"sysid_{c['param']}", c, base_dir=c["base_dir"])
+    keys = jax.random.split(jax.random.PRNGKey(c["seed"]), max(c["n_par"], 1))
+    fn = functools.partial(run_one, c=c, cfg=cfg)
+    out = jax.jit(jax.vmap(fn))(keys) if c["n_par"] > 1 else jax.jit(fn)(keys[0])
+    out = jax.tree_util.tree_map(jax.device_get, out)
+    for i, v in enumerate(jnp.asarray(out["loss_hist"]).reshape(c["max_iter"], -1).mean(axis=-1)):
+        run.log_scalar("loss", float(v), i)
+    run.save_output(out)
+    run.finish()
+    print("theta error:", abs(out["final_theta"] - out["target_theta"]))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -178,11 +178,16 @@ def find_contacts_pair(
 
     fw = finalize_fw(fw, lambda p: bd2s.query_sdfs(p), cfg.eps, push_fn)
 
-    # no-grad contact quantities over all faces (for filtering + acceptance)
+    # no-grad contact quantities over all faces (for filtering + acceptance).
+    # The Laplacian stability test is skipped here: it selects WHICH body's
+    # normal to report (contacts.py:184-202) but never changes distances, so
+    # the penetration acceptance (pen = -dist2) is exact, and for touching
+    # surfaces -R1 n1 ≈ R2 n2 so normal clustering is unaffected. The
+    # differentiable recompute below applies the exact stability test.
     n_ng, p1_ng, _, pen_ng = _compute_contacts(
         bd1s, q1s, p1s, bd2s, q2s, p2s,
         sg(fw.abc), jnp.arange(fw.abc.shape[0]), fw.contact_mask,
-        cfg.eps, cfg.detach_contact_b2, with_stability=True,
+        cfg.eps, cfg.detach_contact_b2, with_stability=False,
     )
     max_pen = jnp.max(jnp.where(fw.contact_mask, pen_ng, -jnp.inf))
 

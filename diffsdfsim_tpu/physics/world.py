@@ -158,8 +158,9 @@ def _attempt(spec: WorldSpec, state: WorldState, dt_):
 
 
 def _search_halvings(spec: WorldSpec, state: WorldState, dt_frame):
-    """Gradient-free bisection search: smallest k with a penetration-free
-    step at dt_frame / 2^k (reference world.py:344-356)."""
+    """Gradient-free bisection search starting at k=1 (k=0 was already tried
+    by the differentiable replay-first attempt): smallest k with a
+    penetration-free step at dt_frame / 2^k (reference world.py:344-356)."""
     sg = jax.lax.stop_gradient
     state = jax.tree_util.tree_map(sg, state)
     dt_frame = sg(dt_frame)
@@ -177,8 +178,8 @@ def _search_halvings(spec: WorldSpec, state: WorldState, dt_frame):
         k2 = k + 1
         return k2, trial(k2.astype(dt_frame.dtype))
 
-    k0 = jnp.zeros((), dtype=jnp.int32)
-    k, ok = jax.lax.while_loop(cond, body, (k0, trial(jnp.zeros((), dtype=dt_frame.dtype))))
+    k1 = jnp.ones((), dtype=jnp.int32)
+    k, ok = jax.lax.while_loop(cond, body, (k1, trial(jnp.ones((), dtype=dt_frame.dtype))))
     return k, ok
 
 
@@ -196,15 +197,38 @@ def step_dt(spec: WorldSpec, state: WorldState, dt_frame):
     cfg = spec.cfg
     dtype = state.pos.dtype
 
-    k, _ = _search_halvings(spec, state, dt_frame)
-    dt_k = dt_frame * 0.5 ** k.astype(dtype)
-
-    # TOC pairing with the previous step (world.py:253-257)
+    # TOC pairing with the previous step (world.py:253-257); numerically an
+    # identity, so the bisection acceptance is unaffected by it
     use_pair = state.had_toc if cfg.time_of_contact_diff else jnp.asarray(False)
-    dt_paired = -state.last_dt + (jax.lax.stop_gradient(state.last_dt) + dt_k)
-    dt_ = jnp.where(use_pair, dt_paired, dt_k)
 
-    new_v, q2, p2, contacts, _ = _attempt(spec, state, dt_)
+    def paired(dt_k):
+        dt_p = -state.last_dt + (jax.lax.stop_gradient(state.last_dt) + dt_k)
+        return jnp.where(use_pair, dt_p, dt_k)
+
+    # Gradient-free probe decides whether the full dt is penetration-free;
+    # the DIFFERENTIABLE attempt then runs only inside the selected branch.
+    # (Computing a speculative differentiable attempt outside the cond and
+    # discarding it is wrong: its backward still executes, and at deeply
+    # penetrating states it produces inf/NaN Jacobians that poison the
+    # gradients even under zero cotangents — the reference avoids this the
+    # same way, by discarding failed attempts from the autograd graph.)
+    sg = jax.lax.stop_gradient
+    state_sg = jax.tree_util.tree_map(sg, state)
+    *_, ok0 = _attempt(spec, state_sg, sg(dt_frame))
+
+    def no_bisect(_):
+        new_v, q2, p2, contacts, _ok = _attempt(spec, state, paired(dt_frame))
+        return new_v, q2, p2, contacts, dt_frame, paired(dt_frame)
+
+    def bisect(_):
+        k, _ = _search_halvings(spec, state, dt_frame)
+        dt_k = dt_frame * 0.5 ** k.astype(dtype)
+        new_v, q2, p2, contacts, _ok = _attempt(spec, state, paired(dt_k))
+        return new_v, q2, p2, contacts, dt_k, paired(dt_k)
+
+    new_v, q2, p2, contacts, dt_k, dt_ = jax.lax.cond(
+        ok0, no_bisect, bisect, operand=None
+    )
 
     if cfg.time_of_contact_diff:
         # contacts new in this step: pair had no valid contact at step start
