@@ -76,9 +76,14 @@ def volume_integrals(verts, faces):
     e1 = tri[:, 1] - tri[:, 0]
     e2 = tri[:, 2] - tri[:, 1]
     n_raw = jnp.cross(e1, e2)
-    area2 = jnp.linalg.norm(n_raw, axis=1)
-    valid = (area2 > 1e-12).astype(verts.dtype)
-    normals = normalize(n_raw)
+    area_sq = jnp.sum(n_raw * n_raw, axis=1)
+    valid_mask = area_sq > 1e-20
+    valid = valid_mask.astype(verts.dtype)
+    # degenerate faces are masked out below; give them a harmless dummy
+    # normal so no NaN gradients leak through 0 * NaN
+    dummy = jnp.zeros_like(n_raw).at[:, 0].set(1.0)
+    n_safe = jnp.where(valid_mask[:, None], n_raw, dummy)
+    normals = normalize(n_safe)
     w = -jnp.sum(normals * tri[:, 0], axis=1)
 
     C = jnp.argmax(jnp.abs(normals), axis=1)

@@ -22,6 +22,13 @@ import jax.numpy as jnp
 from ..utils.spherical import normalize
 
 
+
+def _safe_norm(v, axis=-1):
+    """sqrt(max(sum v², tiny)) — NaN-free gradient at v = 0 (the surface
+    kink of max(q, 0) norms, where shape-parameter gradients are taken)."""
+    n2 = jnp.sum(v * v, axis=axis)
+    return jnp.sqrt(jnp.maximum(n2, 1e-24))
+
 def _sign_nonzero(x):
     """sign(x) with sign(0) = 1, matching reference bodies.py:56-57."""
     return jnp.where(x >= 0, 1.0, -1.0).astype(x.dtype)
@@ -37,7 +44,7 @@ def box_sdf(pts, dims):
     q = jnp.abs(pts) - dims / 2.0
     max_dist = jnp.max(q, axis=-1)
     m = jnp.maximum(q, 0.0)
-    return jnp.linalg.norm(m, axis=-1) + jnp.minimum(max_dist, 0.0)
+    return _safe_norm(m) + jnp.minimum(max_dist, 0.0)
 
 
 def box_sdf_grad(pts, dims):
@@ -67,7 +74,7 @@ def cylinder_sdf(pts, rad, height):
     q = jnp.abs(ps) - lim
     max_dist = jnp.max(q, axis=-1)
     m = jnp.maximum(q, 0.0)
-    return jnp.linalg.norm(m, axis=-1) + jnp.minimum(max_dist, 0.0)
+    return _safe_norm(m) + jnp.minimum(max_dist, 0.0)
 
 
 def cylinder_sdf_grad(pts, rad, height):
@@ -100,7 +107,7 @@ def bowl_sdf(pts, r, d):
     p0 = jnp.where(z < 0, ps_norm, r_xy)
     p0 = jnp.abs(p0 - r) - d
     q = jnp.stack([p0, z], axis=-1)
-    return jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1) + jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    return _safe_norm(jnp.maximum(q, 0.0)) + jnp.minimum(jnp.max(q, axis=-1), 0.0)
 
 
 def bowl_sdf_grad(pts, r, d):
@@ -143,11 +150,11 @@ def brick_sdf(pts, dims, r):
     q = jnp.abs(pts) - half
     max01 = jnp.max(q[..., :2], axis=-1)
     m01 = jnp.maximum(q[..., :2], 0.0)
-    sdf01 = jnp.linalg.norm(m01, axis=-1) + jnp.minimum(max01, 0.0) - r
+    sdf01 = _safe_norm(m01) + jnp.minimum(max01, 0.0) - r
     q2 = jnp.stack([sdf01, q[..., 2]], axis=-1)
     maxd = jnp.max(q2, axis=-1)
     m = jnp.maximum(q2, 0.0)
-    return jnp.linalg.norm(m, axis=-1) + jnp.minimum(maxd, 0.0)
+    return _safe_norm(m) + jnp.minimum(maxd, 0.0)
 
 
 # --------------------------------------------------------------------------

@@ -73,6 +73,11 @@ def cross_2d(a, b):
 
 def normalize(v, axis=-1, eps=1e-12):
     """L2-normalize along axis (torch.nn.functional.normalize semantics:
-    division by max(norm, eps), so zero vectors map to zero)."""
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
-    return v / jnp.maximum(n, eps)
+    division by max(norm, eps), so zero vectors map to zero).
+
+    NaN-safe gradients: the norm is computed as sqrt(max(sum v², eps²)), so
+    d/dv is finite at v = 0 (where plain jnp.linalg.norm has a NaN
+    derivative that would poison masked-out lanes via 0 * NaN)."""
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(n2, eps * eps))
+    return v / n
