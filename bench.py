@@ -20,10 +20,11 @@ N_FRAMES = 100
 RAD = 0.5
 DROP = 1.2
 
-# measured once with _torch_baseline() on this image (eager torch f64 CPU,
-# same scene, same solver iteration counts); kept as fallback so bench.py
-# never blocks on the baseline.
-TORCH_BASELINE_STEPS_PER_SEC = 20.0
+# measured with benchmarks/torch_baseline.py on this image (eager torch f64
+# CPU, same 100-frame bounce workload: per-frame Python loop, FW contact
+# search, interior-point contact solve, TOC custom-grad, full backward):
+# 210.17 steps/s. Kept as a constant so bench.py never blocks on the baseline.
+TORCH_BASELINE_STEPS_PER_SEC = 210.17
 
 
 def _build(dtype_cfg):

@@ -137,7 +137,17 @@ def _compute_contacts(
     )
 
 
-def find_contacts_pair(
+class PairCache(NamedTuple):
+    """Gradient-free outputs of one directed pair's FW search + filtering —
+    everything the differentiable recompute needs (all stop-grad data)."""
+
+    abc_sel: jnp.ndarray  # (K,3)
+    sel_idx: jnp.ndarray  # (K,) int32 face indices
+    sel_valid: jnp.ndarray  # (K,) bool
+    max_pen: jnp.ndarray  # () over ALL candidates (step acceptance)
+
+
+def search_contacts_pair(
     bd1: BodyDef,
     q1,
     pos1,
@@ -145,17 +155,13 @@ def find_contacts_pair(
     q2,
     pos2,
     cfg: SimConfig,
-):
-    """One directed pair: FW search (no grad) -> filter -> differentiable
-    recompute. Returns per-slot (normal, p1, p2, pen, valid) with K =
-    cfg.max_contacts_per_pair slots plus the pair's max penetration over ALL
-    candidates (for step acceptance, reference world.py:270)."""
+) -> PairCache:
+    """One directed pair's gradient-free phase: FW search over all faces,
+    penetration measurement, and filtering to K = cfg.max_contacts_per_pair
+    representative candidates. The reference runs exactly this under
+    torch.no_grad (contacts.py:255-261)."""
     k = cfg.max_contacts_per_pair
 
-    def q2_query(pts):
-        return bd2.query_sdfs(pts)
-
-    # ---- gradient-free search phase ----
     sg = jax.lax.stop_gradient
     q1s, p1s, q2s, p2s = sg(q1), sg(pos1), sg(q2), sg(pos2)
     bd1s = jax.tree_util.tree_map(sg, bd1)
@@ -183,7 +189,7 @@ def find_contacts_pair(
     # normal to report (contacts.py:184-202) but never changes distances, so
     # the penetration acceptance (pen = -dist2) is exact, and for touching
     # surfaces -R1 n1 ≈ R2 n2 so normal clustering is unaffected. The
-    # differentiable recompute below applies the exact stability test.
+    # differentiable recompute applies the exact stability test.
     n_ng, p1_ng, _, pen_ng = _compute_contacts(
         bd1s, q1s, p1s, bd2s, q2s, p2s,
         sg(fw.abc), jnp.arange(fw.abc.shape[0]), fw.contact_mask,
@@ -192,15 +198,72 @@ def find_contacts_pair(
     max_pen = jnp.max(jnp.where(fw.contact_mask, pen_ng, -jnp.inf))
 
     sel_idx, sel_valid = filter_contacts(n_ng, p1_ng, fw.contact_mask, k_out=k)
+    return PairCache(
+        abc_sel=sg(fw.abc)[sel_idx], sel_idx=sel_idx, sel_valid=sel_valid, max_pen=max_pen
+    )
 
-    # ---- differentiable recompute of the selected contacts ----
-    abc_sel = sg(fw.abc)[sel_idx]
+
+def find_contacts_pair(
+    bd1: BodyDef,
+    q1,
+    pos1,
+    bd2: BodyDef,
+    q2,
+    pos2,
+    cfg: SimConfig,
+    cache: PairCache | None = None,
+):
+    """One directed pair: (cached) FW search -> differentiable recompute.
+    Returns per-slot (normal, p1, p2, pen, valid, max_pen)."""
+    if cache is None:
+        cache = search_contacts_pair(bd1, q1, pos1, bd2, q2, pos2, cfg)
     normals, p1c, p2c, pens = _compute_contacts(
         bd1, q1, pos1, bd2, q2, pos2,
-        abc_sel, sel_idx, sel_valid,
+        cache.abc_sel, cache.sel_idx, cache.sel_valid,
         cfg.eps, cfg.detach_contact_b2, with_stability=True,
     )
-    return normals, p1c, p2c, pens, sel_valid, max_pen
+    return normals, p1c, p2c, pens, cache.sel_valid, cache.max_pen
+
+
+class ContactCache(NamedTuple):
+    """Gradient-free contact-search results for ALL directed pairs."""
+
+    caches: tuple  # tuple[PairCache]
+    gates: tuple  # tuple[() bool]
+    max_pen_all: jnp.ndarray  # ()
+
+
+def search_contacts(
+    bodies: Sequence[BodyDef],
+    quat,
+    pos,
+    directed_pairs: Sequence[DirectedPair],
+    cfg: SimConfig,
+) -> ContactCache:
+    """Gradient-free search for all pairs, including the SDF-SDF overlap and
+    direction-2 gating (contacts.py:233-240)."""
+    caches, gates = [], []
+    pair_pens = {}
+    for dp in directed_pairs:
+        bd1, bd2 = bodies[dp.b1], bodies[dp.b2]
+        cache = search_contacts_pair(
+            bd1, quat[dp.b1], pos[dp.b1], bd2, quat[dp.b2], pos[dp.b2], cfg
+        )
+        gate = jnp.asarray(True)
+        if dp.overlap_test:
+            gate = _overlap(bd1, quat[dp.b1], pos[dp.b1], bd2, quat[dp.b2], pos[dp.b2])
+        if dp.gated:
+            gate = gate & (pair_pens[dp.pair_id] <= cfg.tol)
+        max_pen = jnp.where(gate, cache.max_pen, -jnp.inf)
+        prev = pair_pens.get(dp.pair_id, -jnp.inf)
+        pair_pens[dp.pair_id] = jnp.maximum(prev, max_pen)
+        caches.append(cache)
+        gates.append(gate)
+    if pair_pens:
+        max_pen_all = jnp.max(jnp.stack([pair_pens[pid] for pid in sorted(pair_pens)]))
+    else:
+        max_pen_all = jnp.asarray(-jnp.inf, dtype=quat.dtype)
+    return ContactCache(caches=tuple(caches), gates=tuple(gates), max_pen_all=max_pen_all)
 
 
 def find_contacts(
@@ -210,27 +273,23 @@ def find_contacts(
     directed_pairs: Sequence[DirectedPair],
     n_unordered: int,
     cfg: SimConfig,
+    cache: ContactCache | None = None,
 ) -> Contacts:
-    """All pairs -> global compacted contact buffer (K_total slots)."""
+    """All pairs -> global compacted contact buffer (K_total slots).
+
+    With `cache` (from search_contacts at the SAME pose), the gradient-free
+    search is skipped and only the differentiable recompute runs — this is
+    how the step reuses the bisection probe's work."""
     dtype = quat.dtype
+    if cache is None:
+        cache = search_contacts(bodies, quat, pos, directed_pairs, cfg)
     per_pair = []
-    pair_pens = {}
-    for dp in directed_pairs:
+    for dp, pc, gate in zip(directed_pairs, cache.caches, cache.gates):
         bd1, bd2 = bodies[dp.b1], bodies[dp.b2]
-        n, p1c, p2c, pens, valid, max_pen = find_contacts_pair(
-            bd1, quat[dp.b1], pos[dp.b1], bd2, quat[dp.b2], pos[dp.b2], cfg
+        n, p1c, p2c, pens, valid, _ = find_contacts_pair(
+            bd1, quat[dp.b1], pos[dp.b1], bd2, quat[dp.b2], pos[dp.b2], cfg, cache=pc
         )
-        gate = jnp.asarray(True)
-        if dp.overlap_test:
-            gate = _overlap(bd1, quat[dp.b1], pos[dp.b1], bd2, quat[dp.b2], pos[dp.b2])
-        if dp.gated:
-            # direction 2 only when direction 1's step was valid
-            # (contacts.py:238-240)
-            gate = gate & (pair_pens[dp.pair_id] <= cfg.tol)
         valid = valid & gate
-        max_pen = jnp.where(gate, max_pen, -jnp.inf)
-        prev = pair_pens.get(dp.pair_id, -jnp.inf)
-        pair_pens[dp.pair_id] = jnp.maximum(prev, max_pen)
         k = valid.shape[0]
         per_pair.append(
             dict(
@@ -266,9 +325,7 @@ def find_contacts(
 
     valid = take(cat["valid"])
     pair_id = take(cat["pair_id"])
-    max_pen_all = jnp.max(
-        jnp.stack([pair_pens[pid] for pid in sorted(pair_pens)])
-    )
+    max_pen_all = cache.max_pen_all
     pair_active = jnp.zeros((max(n_unordered, 1),), dtype=bool).at[pair_id].max(valid)
 
     return Contacts(

@@ -34,7 +34,7 @@ from ..config import SimConfig, default_dtype
 from ..utils.quaternion import integrate_quat, quat_to_matrix, so3_exp_map
 from ..ops.toc import TocArgs, toc_dt
 from .bodies import BodyDef
-from .contacts import Contacts, DirectedPair, find_contacts
+from .contacts import Contacts, DirectedPair, find_contacts, search_contacts
 from .engine import apply_forces, post_stabilization, solve_dynamics
 
 
@@ -141,9 +141,27 @@ def _integrate(quat, pos, v, dt):
     return new_quat, new_pos
 
 
-def _attempt(spec: WorldSpec, state: WorldState, dt_):
-    """One trial step at dt_: solve dynamics (with the contact set at step
-    start), move, find contacts, check penetration."""
+def _probe(spec: WorldSpec, state: WorldState, dt_):
+    """Gradient-free trial at dt_: solve, move, SEARCH contacts. Returns the
+    acceptance flag and the contact-search cache (FW + filtering results),
+    which the differentiable replay reuses — the search is stop-gradient in
+    the reference too (contacts.py:255-261), so sharing it between the
+    bisection trial and the replay is exact, not an approximation."""
+    cfg = spec.cfg
+    sg = jax.lax.stop_gradient
+    state = jax.tree_util.tree_map(sg, state)
+    dt_ = sg(dt_)
+    new_v6 = solve_dynamics(
+        spec.bodies, spec.joints, spec.forces, state, state.contacts, dt_, cfg
+    )
+    q2, p2 = _integrate(state.quat, state.pos, new_v6.reshape(-1, 6), dt_)
+    cache = search_contacts(spec.bodies, q2, p2, spec.directed_pairs, cfg)
+    ok = cache.max_pen_all <= cfg.tol
+    return ok, cache
+
+
+def _replay(spec: WorldSpec, state: WorldState, dt_, cache):
+    """Differentiable step at dt_ consuming the probe's contact cache."""
     cfg = spec.cfg
     new_v6 = solve_dynamics(
         spec.bodies, spec.joints, spec.forces, state, state.contacts, dt_, cfg
@@ -151,36 +169,45 @@ def _attempt(spec: WorldSpec, state: WorldState, dt_):
     new_v = new_v6.reshape(-1, 6)
     q2, p2 = _integrate(state.quat, state.pos, new_v, dt_)
     contacts = find_contacts(
-        spec.bodies, q2, p2, spec.directed_pairs, spec.n_unordered, cfg
+        spec.bodies, q2, p2, spec.directed_pairs, spec.n_unordered, cfg, cache=cache
     )
-    ok = contacts.max_pen_all <= cfg.tol
+    return new_v, q2, p2, contacts
+
+
+def _attempt(spec: WorldSpec, state: WorldState, dt_):
+    """Full trial step (search + differentiable recompute) — used at world
+    construction and by callers that need contacts without a cache."""
+    ok, cache = _probe(spec, state, dt_)
+    new_v, q2, p2, contacts = _replay(spec, state, dt_, cache)
     return new_v, q2, p2, contacts, ok
 
 
 def _search_halvings(spec: WorldSpec, state: WorldState, dt_frame):
-    """Gradient-free bisection search starting at k=1 (k=0 was already tried
-    by the differentiable replay-first attempt): smallest k with a
-    penetration-free step at dt_frame / 2^k (reference world.py:344-356)."""
+    """Gradient-free bisection search starting at k=1 (k=0 was already
+    probed): smallest k with a penetration-free step at dt_frame / 2^k
+    (reference world.py:344-356). Carries the accepted trial's contact
+    cache for the replay."""
     sg = jax.lax.stop_gradient
     state = jax.tree_util.tree_map(sg, state)
     dt_frame = sg(dt_frame)
 
     def trial(k):
-        *_, ok = _attempt(spec, state, dt_frame * 0.5**k)
-        return ok
+        return _probe(spec, state, dt_frame * 0.5**k)
 
     def cond(c):
-        k, ok = c
+        k, ok, _ = c
         return (~ok) & (k < spec.cfg.max_bisect)
 
     def body(c):
-        k, _ = c
+        k, _, _ = c
         k2 = k + 1
-        return k2, trial(k2.astype(dt_frame.dtype))
+        ok, cache = trial(k2.astype(dt_frame.dtype))
+        return k2, ok, cache
 
     k1 = jnp.ones((), dtype=jnp.int32)
-    k, ok = jax.lax.while_loop(cond, body, (k1, trial(jnp.ones((), dtype=dt_frame.dtype))))
-    return k, ok
+    ok1, cache1 = trial(jnp.ones((), dtype=dt_frame.dtype))
+    k, ok, cache = jax.lax.while_loop(cond, body, (k1, ok1, cache1))
+    return k, ok, cache
 
 
 class StepRecord(NamedTuple):
@@ -206,24 +233,23 @@ def step_dt(spec: WorldSpec, state: WorldState, dt_frame):
         return jnp.where(use_pair, dt_p, dt_k)
 
     # Gradient-free probe decides whether the full dt is penetration-free;
-    # the DIFFERENTIABLE attempt then runs only inside the selected branch.
-    # (Computing a speculative differentiable attempt outside the cond and
-    # discarding it is wrong: its backward still executes, and at deeply
-    # penetrating states it produces inf/NaN Jacobians that poison the
-    # gradients even under zero cotangents — the reference avoids this the
-    # same way, by discarding failed attempts from the autograd graph.)
-    sg = jax.lax.stop_gradient
-    state_sg = jax.tree_util.tree_map(sg, state)
-    *_, ok0 = _attempt(spec, state_sg, sg(dt_frame))
+    # the DIFFERENTIABLE replay then runs only inside the selected branch,
+    # reusing the probe's (stop-gradient) contact-search cache. Running a
+    # speculative differentiable attempt outside the cond and discarding it
+    # would be wrong: its backward still executes, and at deeply penetrating
+    # states it produces inf/NaN Jacobians that poison the gradients even
+    # under zero cotangents — the reference likewise discards failed
+    # attempts from the autograd graph.
+    ok0, cache0 = _probe(spec, state, dt_frame)
 
     def no_bisect(_):
-        new_v, q2, p2, contacts, _ok = _attempt(spec, state, paired(dt_frame))
+        new_v, q2, p2, contacts = _replay(spec, state, paired(dt_frame), cache0)
         return new_v, q2, p2, contacts, dt_frame, paired(dt_frame)
 
     def bisect(_):
-        k, _ = _search_halvings(spec, state, dt_frame)
+        k, _, cache = _search_halvings(spec, state, dt_frame)
         dt_k = dt_frame * 0.5 ** k.astype(dtype)
-        new_v, q2, p2, contacts, _ok = _attempt(spec, state, paired(dt_k))
+        new_v, q2, p2, contacts = _replay(spec, state, paired(dt_k), cache)
         return new_v, q2, p2, contacts, dt_k, paired(dt_k)
 
     new_v, q2, p2, contacts, dt_k, dt_ = jax.lax.cond(

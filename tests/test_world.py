@@ -108,7 +108,11 @@ def test_rollout_gradient_radius():
         final, _ = rollout(spec, state, n_frames=15)
         return final.pos[1, 1]
 
-    rad0 = jnp.asarray(0.5)
+    # NOTE: rad=0.5 with height=1.0 and dt=1/30 is a degenerate point — the
+    # sphere touches the floor EXACTLY at a frame boundary (1 - k(k+1)/180
+    # = 0.5 at k=9) and the TOC classification sits on a knife edge; use a
+    # generic radius.
+    rad0 = jnp.asarray(0.55)
     g = float(jax.grad(final_y)(rad0))
     assert np.isfinite(g)
     # reference-semantics magnitude (mini-1d gives 1.5; full 3D pipeline
