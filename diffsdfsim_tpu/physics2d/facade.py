@@ -85,7 +85,14 @@ def make_world_2d(bodies, poses_2d, vels_2d, joints=(), forces=(), no_contact=()
     vels = vels.at[:, 2].set(vels_2d[:, 0])
     vels = vels.at[:, 3:5].set(vels_2d[:, 1:])
 
-    joints = tuple(joints) + tuple(PlanarConstraint(body1=i) for i in range(nb))
+    # planar rows would duplicate a TotalConstraint3D's (singular Je);
+    # fully-constrained bodies are already planar
+    from ..physics.joints import TotalConstraint3D
+
+    fully = {j.body1 for j in joints if isinstance(j, TotalConstraint3D)}
+    joints = tuple(joints) + tuple(
+        PlanarConstraint(body1=i) for i in range(nb) if i not in fully
+    )
     return make_world(bodies, poses, vels, joints=joints, forces=forces,
                       no_contact=no_contact, cfg=cfg)
 
