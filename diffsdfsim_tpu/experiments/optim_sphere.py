@@ -119,27 +119,39 @@ def simulate(rad, c, cfg):
     return final, traj, sphere_idx, sphere
 
 
-def make_loss(c, cfg):
-    def target_traj(target_rad):
-        _, traj, idx, _ = simulate(target_rad, c, cfg)
-        return jax.lax.stop_gradient(traj), idx
+def sphere_index(c) -> int:
+    return int(c["use_floor"]) + int(c["use_wall"])
 
-    def loss_fn(rad, tgt_traj, idx):
+
+def make_loss(c, cfg):
+    idx = sphere_index(c)
+
+    def target_traj(target_rad):
+        _, traj, _, _ = simulate(target_rad, c, cfg)
+        return jax.lax.stop_gradient(traj)
+
+    def loss_fn(rad, tgt_traj):
         _, traj, _, _ = simulate(rad, c, cfg)
         return trajectory_loss(traj, tgt_traj, body=idx)
 
     return target_traj, loss_fn
 
 
-def run_one(key, c, cfg):
-    """One seed: returns (rad_history, loss_history, target_rad, start_rad)."""
+def sample_params(key, c):
     kt, ks = jax.random.split(key)
     lo, hi = c["min_dim"], c["max_dim"]
     target_rad = jax.random.uniform(kt, (), minval=lo, maxval=hi, dtype=default_dtype())
     start_rad = jax.random.uniform(ks, (), minval=lo, maxval=hi, dtype=default_dtype())
+    return target_rad, start_rad
+
+
+def run_one(key, c, cfg):
+    """One seed, fully on-device (lax.scan over GD steps)."""
+    target_rad, start_rad = sample_params(key, c)
+    lo, hi = c["min_dim"], c["max_dim"]
 
     target_traj_fn, loss_fn = make_loss(c, cfg)
-    tgt_traj, idx = target_traj_fn(target_rad)
+    tgt_traj = target_traj_fn(target_rad)
 
     if c["optimizer"] == "Adam":
         opt = optax.adam(c["lr"])
@@ -150,7 +162,7 @@ def run_one(key, c, cfg):
 
     def step(carry, _):
         rad, opt_state = carry
-        val, g = vg(rad, tgt_traj, idx)
+        val, g = vg(rad, tgt_traj)
         upd, opt_state = opt.update(g, opt_state)
         rad = jnp.clip(rad + upd, lo, hi)
         return (rad, opt_state), (val, rad)
@@ -164,6 +176,41 @@ def run_one(key, c, cfg):
         target_rad=target_rad,
         loss_hist=loss_hist,
         rad_hist=rad_hist,
+    )
+
+
+def run_sweep_hostloop(keys, c, cfg):
+    """Multi-seed sweep with the GD loop on host: one jitted, vmapped
+    value_and_grad per iteration (small compiled graph; preferred on TPU
+    where a scan-over-optimizer graph is unnecessarily large)."""
+    target_rad, start_rad = jax.vmap(lambda k: sample_params(k, c))(keys)
+    lo, hi = c["min_dim"], c["max_dim"]
+    target_traj_fn, loss_fn = make_loss(c, cfg)
+
+    tgt_traj = jax.jit(jax.vmap(target_traj_fn))(target_rad)
+
+    opt = optax.adam(c["lr"]) if c["optimizer"] == "Adam" else optax.sgd(c["lr"])
+
+    @jax.jit
+    def gd_step(rad, opt_state):
+        val, g = jax.vmap(jax.value_and_grad(loss_fn))(rad, tgt_traj)
+        upd, opt_state = opt.update(g, opt_state)
+        rad = jnp.clip(rad + upd, lo, hi)
+        return rad, opt_state, val
+
+    rad = start_rad
+    opt_state = opt.init(rad)
+    loss_hist, rad_hist = [], []
+    for _ in range(c["max_iter"]):
+        rad, opt_state, val = gd_step(rad, opt_state)
+        loss_hist.append(val)
+        rad_hist.append(rad)
+    return dict(
+        start_rad=start_rad,
+        final_rad=rad,
+        target_rad=target_rad,
+        loss_hist=jnp.stack(loss_hist),
+        rad_hist=jnp.stack(rad_hist),
     )
 
 

@@ -96,6 +96,96 @@ def make_decoder(params: ImplicitNetParams):
     return decoder
 
 
+def _parse_hocon_lite(text: str) -> dict:
+    """Minimal HOCON subset parser for IGR `exp.conf` files (see
+    IGR_data/train_configs/*.conf): nested `name{...}` blocks, `key = value`
+    or `"key" : value` pairs, numbers / booleans / strings / [lists] /
+    inline {dicts}, optional commas. Replaces the reference's pyhocon
+    dependency (utils.py:294-296)."""
+    import re
+
+    s = re.sub(r"//[^\n]*|#[^\n]*", "", text)
+    tokens = re.findall(r'"[^"]*"|[{}\[\],=:]|[^\s{}\[\],=:]+', s)
+
+    def atom(tok):
+        if tok.startswith('"'):
+            return tok[1:-1]
+        low = tok.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        try:
+            return int(tok)
+        except ValueError:
+            pass
+        try:
+            return float(tok)
+        except ValueError:
+            return tok
+
+    def parse_value(i):
+        tok = tokens[i]
+        if tok == "{":
+            return parse_dict(i + 1)
+        if tok == "[":
+            out = []
+            i += 1
+            while tokens[i] != "]":
+                if tokens[i] == ",":
+                    i += 1
+                    continue
+                v, i = parse_value(i)
+                out.append(v)
+            return out, i + 1
+        return atom(tok), i + 1
+
+    def parse_dict(i):
+        out = {}
+        while tokens[i] != "}":
+            if tokens[i] == ",":
+                i += 1
+                continue
+            key = tokens[i][1:-1] if tokens[i].startswith('"') else tokens[i]
+            i += 1
+            if tokens[i] in ("=", ":"):
+                i += 1
+            v, i = parse_value(i)
+            out[key] = v
+        return out, i + 1
+
+    tokens.append("}")
+    out, _ = parse_dict(0)
+    return out
+
+
+def load_igr_experiment(experiment_dir: str, timestamp: str = "latest",
+                        checkpoint: str = "latest", dtype=None):
+    """Resolve an IGR experiment directory exactly like the reference
+    (`sdf_physics/physics3d/utils.py:286-327`): pick the latest timestamp
+    dir, parse exp.conf (latent_size, network dims/skip_in/beta), and load
+    the ModelParameters/LatentCodes torch checkpoints.
+
+    Returns (ImplicitNetParams, latent_codes, conf_dict)."""
+    import os
+
+    if timestamp == "latest":
+        timestamps = sorted(os.listdir(experiment_dir))
+        if not timestamps:
+            raise FileNotFoundError(f"no timestamp dirs in {experiment_dir}")
+        timestamp = timestamps[-1]
+    conf = _parse_hocon_lite(
+        open(os.path.join(experiment_dir, timestamp, "exp.conf")).read()
+    )
+    skip_in = tuple(conf["network"]["inputs"].get("skip_in", [4]))
+    ckpt_dir = os.path.join(experiment_dir, timestamp, "checkpoints")
+    params, codes = load_torch_checkpoint(
+        os.path.join(ckpt_dir, "ModelParameters", f"{checkpoint}.pth"),
+        os.path.join(ckpt_dir, "LatentCodes", f"{checkpoint}.pth"),
+        skip_in=skip_in,
+        dtype=dtype,
+    )
+    return params, codes, conf
+
+
 def load_torch_checkpoint(model_path: str, latent_path: str, skip_in=(4,), dtype=None):
     """Convert published IGR PyTorch checkpoints (utils.py:310-319 layout:
     ModelParameters/*.pth with 'model_state_dict' {lin{i}.weight/bias},

@@ -327,3 +327,44 @@ def _lcp_bwd(max_iter, eps, not_improved_lim, res, dl_dzhat):
 
 
 lcp_solve.defvjp(_lcp_fwd, _lcp_bwd)
+
+
+def pdipm_solve_raw(Q, p, G, h, A, b, F, max_iter=10, eps=1e-12, not_improved_lim=3):
+    """Plain forward solve returning the full primal-dual solution
+    (x, y, z, s) with NO autodiff plumbing — for gradient-free probe phases
+    whose solution is later re-emitted via `lcp_solve_from_solution`."""
+    return _pdipm_forward(Q, p, G, h, A, b, F, max_iter, eps, not_improved_lim)
+
+
+@jax.custom_vjp
+def lcp_solve_from_solution(Q, p, G, h, A, b, F, sol):
+    """Re-emit a precomputed LCP solution with the exact KKT implicit-diff
+    backward of `lcp_solve`.
+
+    The interior-point iterations are pure forward work: the backward pass
+    only needs the solution (zhat, nu, lam, slack) and the problem data
+    (lcp.py:155-213). When a gradient-free search phase has already solved
+    the IDENTICAL problem, the differentiable replay can skip the solve and
+    attach gradients here. `sol` must be stop-gradient data."""
+    x, _, _, _ = sol
+    return x
+
+
+def _lcp_sol_fwd(Q, p, G, h, A, b, F, sol):
+    x, y, z, s = sol
+    return x, (Q, G, A, F, x, y, z, s)
+
+
+def _lcp_sol_bwd(res, dl_dzhat):
+    Q, G, A, F = res[0], res[1], res[2], res[3]
+    grads = _lcp_bwd(0, 0.0, 0, res, dl_dzhat)
+    zero_sol = (
+        jnp.zeros_like(res[4]),
+        jnp.zeros_like(res[5]),
+        jnp.zeros_like(res[6]),
+        jnp.zeros_like(res[7]),
+    )
+    return grads + (zero_sol,)
+
+
+lcp_solve_from_solution.defvjp(_lcp_sol_fwd, _lcp_sol_bwd)

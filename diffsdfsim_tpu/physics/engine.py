@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..ops.qp import lcp_solve
+from ..ops.qp import lcp_solve, lcp_solve_from_solution, pdipm_solve_raw
 from ..utils.quaternion import quat_to_matrix
 from ..utils.spherical import normalize, orthogonal
 from .contacts import Contacts
@@ -144,8 +144,19 @@ def apply_forces(bodies, forces, t):
     return jnp.concatenate(out)
 
 
-def solve_dynamics(bodies, joints, forces, state, contacts: Contacts, dt, cfg: SimConfig):
-    """New generalized velocities after impulse solve (engines.py:31-83)."""
+def solve_dynamics(
+    bodies, joints, forces, state, contacts: Contacts, dt, cfg: SimConfig,
+    lcp_sol=None, return_sol: bool = False,
+):
+    """New generalized velocities after impulse solve (engines.py:31-83).
+
+    Modes (TPU step-sharing optimization):
+    - default: full differentiable solve (custom_vjp PDIPM)
+    - return_sol=True: gradient-free probe path — also return the full
+      primal-dual solution (x, y, z, s) for later reuse
+    - lcp_sol=...: differentiable replay path — skip the interior-point
+      iterations and re-emit the cached solution with the exact KKT
+      implicit-diff backward (ops.qp.lcp_solve_from_solution)."""
     nb = len(bodies)
     dtype = state.v.dtype
     v = state.v.reshape(-1)
@@ -155,6 +166,18 @@ def solve_dynamics(bodies, joints, forces, state, contacts: Contacts, dt, cfg: S
     neq = Je.shape[0]
     f = apply_forces(bodies, forces, state.t)
     u = M @ v + dt * f
+
+    k = contacts.valid.shape[0]
+    fd = cfg.fric_dirs
+    nineq = k * (2 + fd)
+
+    def _zero_sol():
+        return (
+            jnp.zeros((1, 6 * nb), dtype=dtype),
+            jnp.zeros((1, neq), dtype=dtype),
+            jnp.zeros((1, nineq), dtype=dtype),
+            jnp.zeros((1, nineq), dtype=dtype),
+        )
 
     def no_contact_branch(_):
         if neq > 0:
@@ -168,11 +191,9 @@ def solve_dynamics(bodies, joints, forces, state, contacts: Contacts, dt, cfg: S
             x = jnp.linalg.solve(P, rhs)
         else:
             x = jnp.linalg.solve(M, u)
-        return x[: 6 * nb]
+        return x[: 6 * nb], _zero_sol()
 
     def contact_branch(_):
-        k = contacts.valid.shape[0]
-        fd = cfg.fric_dirs
         Jc = contact_jacobian(contacts, nb, cfg.stop_contact_grad)
         Jf = friction_jacobian(contacts, nb, fd, cfg.stop_friction_grad)
         mu, restitution = contact_coeffs(contacts, bodies)
@@ -181,7 +202,6 @@ def solve_dynamics(bodies, joints, forces, state, contacts: Contacts, dt, cfg: S
         E = jnp.repeat(jnp.eye(k, dtype=dtype), fd, axis=0)  # (k*fd, k)
 
         G = jnp.concatenate([Jc, Jf, jnp.zeros((k, 6 * nb), dtype=dtype)])
-        nineq = G.shape[0]
         F = jnp.zeros((nineq, nineq), dtype=dtype)
         F = F.at[k : k + k * fd, -k:].set(E)
         F = F.at[-k:, :k].set(jnp.diag(mu))
@@ -200,7 +220,7 @@ def solve_dynamics(bodies, joints, forces, state, contacts: Contacts, dt, cfg: S
         ).astype(dtype)
         hvec = hvec + pad
 
-        x = lcp_solve(
+        args = (
             M[None],
             u[None],
             G[None],
@@ -208,14 +228,27 @@ def solve_dynamics(bodies, joints, forces, state, contacts: Contacts, dt, cfg: S
             Je[None] if neq > 0 else jnp.zeros((1, 0, 6 * nb), dtype=dtype),
             jnp.zeros((1, neq), dtype=dtype),
             F[None],
-            cfg.solver_max_iter,
-            cfg.solver_eps,
-            3,
         )
-        return -x[0, : 6 * nb]
+        if lcp_sol is not None:
+            x = lcp_solve_from_solution(*args, lcp_sol)
+            sol = lcp_sol
+        elif return_sol:
+            x, y, z, s = pdipm_solve_raw(
+                *args, cfg.solver_max_iter, cfg.solver_eps, 3
+            )
+            sol = (x, y, z, s)
+        else:
+            x = lcp_solve(*args, cfg.solver_max_iter, cfg.solver_eps, 3)
+            sol = _zero_sol()
+        return -x[0, : 6 * nb], sol
 
     any_contact = jnp.any(contacts.valid)
-    return jax.lax.cond(any_contact, contact_branch, no_contact_branch, operand=None)
+    new_v, sol = jax.lax.cond(
+        any_contact, contact_branch, no_contact_branch, operand=None
+    )
+    if return_sol:
+        return new_v, sol
+    return new_v
 
 
 def post_stabilization(bodies, joints, state, contacts: Contacts, cfg: SimConfig):

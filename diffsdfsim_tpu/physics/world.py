@@ -151,25 +151,39 @@ def _probe(spec: WorldSpec, state: WorldState, dt_):
     sg = jax.lax.stop_gradient
     state = jax.tree_util.tree_map(sg, state)
     dt_ = sg(dt_)
-    new_v6 = solve_dynamics(
-        spec.bodies, spec.joints, spec.forces, state, state.contacts, dt_, cfg
+    new_v6, lcp_sol = solve_dynamics(
+        spec.bodies, spec.joints, spec.forces, state, state.contacts, dt_, cfg,
+        return_sol=True,
     )
     q2, p2 = _integrate(state.quat, state.pos, new_v6.reshape(-1, 6), dt_)
-    cache = search_contacts(spec.bodies, q2, p2, spec.directed_pairs, cfg)
-    ok = cache.max_pen_all <= cfg.tol
-    return ok, cache
+    ccache = search_contacts(spec.bodies, q2, p2, spec.directed_pairs, cfg)
+    ok = ccache.max_pen_all <= cfg.tol
+    return ok, (ccache, lcp_sol)
 
 
 def _replay(spec: WorldSpec, state: WorldState, dt_, cache):
-    """Differentiable step at dt_ consuming the probe's contact cache."""
+    """Differentiable step at dt_ consuming the probe's contact-search cache
+    AND its LCP solution (the interior-point iterations are pure forward
+    work; gradients attach via the KKT implicit diff, ops/qp.py).
+
+    CRITICAL: the cache must be severed with stop_gradient HERE. The probe
+    closes over the differentiable body parameters, so its raw PDIPM solve
+    sits on the autodiff path; without severing, its linearization saves
+    inf residuals from masked interior-point lanes and the (concrete) zero
+    cotangents coming back from lcp_solve_from_solution produce 0*inf = NaN
+    in the transpose. stop_gradient makes the tangents symbolic zeros, which
+    skips that transpose entirely."""
     cfg = spec.cfg
+    cache = jax.tree_util.tree_map(jax.lax.stop_gradient, cache)
+    ccache, lcp_sol = cache
     new_v6 = solve_dynamics(
-        spec.bodies, spec.joints, spec.forces, state, state.contacts, dt_, cfg
+        spec.bodies, spec.joints, spec.forces, state, state.contacts, dt_, cfg,
+        lcp_sol=lcp_sol,
     )
     new_v = new_v6.reshape(-1, 6)
     q2, p2 = _integrate(state.quat, state.pos, new_v, dt_)
     contacts = find_contacts(
-        spec.bodies, q2, p2, spec.directed_pairs, spec.n_unordered, cfg, cache=cache
+        spec.bodies, q2, p2, spec.directed_pairs, spec.n_unordered, cfg, cache=ccache
     )
     return new_v, q2, p2, contacts
 
@@ -207,6 +221,10 @@ def _search_halvings(spec: WorldSpec, state: WorldState, dt_frame):
     k1 = jnp.ones((), dtype=jnp.int32)
     ok1, cache1 = trial(jnp.ones((), dtype=dt_frame.dtype))
     k, ok, cache = jax.lax.while_loop(cond, body, (k1, ok1, cache1))
+    # the carried cache is pure stop-gradient data, but float outputs of a
+    # while_loop trip JAX's structural reverse-mode check when consumed
+    # downstream — sever explicitly
+    cache = jax.tree_util.tree_map(jax.lax.stop_gradient, cache)
     return k, ok, cache
 
 

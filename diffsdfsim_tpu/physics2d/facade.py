@@ -24,9 +24,10 @@ import jax.numpy as jnp
 from ..config import SimConfig, default_dtype
 from ..physics.bodies import make_body
 from ..physics.joints import JointBase
-from ..physics.shapes import BoxShape, CylinderShape
+from ..physics.shapes import BoxShape, CylinderShape, ShapeBase
 from ..physics.world import make_world
 from ..utils.quaternion import quat_from_euler
+from flax import struct
 
 
 _DEPTH = 1.0
@@ -66,6 +67,102 @@ def Rect(dims, **kw):
         template="cube",
         **kw,
     )
+
+
+def polygon_sdf_2d(p, verts):
+    """Exact signed distance to a 2D polygon (verts (V,2), CCW), batched over
+    p (...,2) — the standard winding/segment-distance formulation."""
+    v = verts
+    vj = jnp.roll(verts, -1, axis=0)  # next vertex per edge
+    e = vj - v  # (V,2)
+    w = p[..., None, :] - v  # (...,V,2)
+    t = jnp.clip(
+        jnp.sum(w * e, axis=-1) / jnp.maximum(jnp.sum(e * e, axis=-1), 1e-12),
+        0.0, 1.0,
+    )
+    b = w - t[..., None] * e
+    d2 = jnp.min(jnp.sum(b * b, axis=-1), axis=-1)
+    # winding-parity sign
+    c1 = p[..., None, 1] >= v[:, 1]
+    c2 = p[..., None, 1] < vj[:, 1]
+    c3 = e[:, 0] * w[..., 1] > e[:, 1] * w[..., 0]
+    flip = (c1 & c2 & c3) | (~c1 & ~c2 & ~c3)
+    s = 1.0 - 2.0 * (jnp.sum(flip, axis=-1) % 2).astype(p.dtype)
+    return s * jnp.sqrt(jnp.maximum(d2, 1e-24))
+
+
+@struct.dataclass
+class HullShape(ShapeBase):
+    """2D convex hull body (reference `lcp_physics` Hull): an extruded
+    polygon SDF. `verts2d` (V,2) normalized by `scale_`."""
+
+    verts2d: jnp.ndarray
+    scale_: jnp.ndarray
+
+    def scale(self):
+        return self.scale_
+
+    def sdf(self, pts):
+        d2 = polygon_sdf_2d(pts[..., :2], self.verts2d)
+        qz = jnp.abs(pts[..., 2]) - (_DEPTH / 2.0) / self.scale_
+        q = jnp.stack([d2, qz], axis=-1)
+        return jnp.sqrt(
+            jnp.maximum(jnp.sum(jnp.maximum(q, 0.0) ** 2, axis=-1), 1e-24)
+        ) + jnp.minimum(jnp.max(q, axis=-1), 0.0)
+
+
+def Hull(verts2d, **kw):
+    """2D convex polygon body (reference physics/bodies.py Hull). `verts2d`
+    are CCW, centered at the body origin."""
+    dtype = default_dtype()
+    v = jnp.asarray(verts2d, dtype=dtype)
+    scale = jnp.maximum(jnp.max(jnp.linalg.norm(v, axis=-1)), _DEPTH / 2.0) * 1.5
+    shape = HullShape(verts2d=v / scale, scale_=scale)
+    return make_body(shape, template="cube", **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class RevoluteJoint2D(JointBase):
+    """Planar hinge (reference 2D Joint, physics/constraints.py:35-75):
+    anchor-point velocities of both bodies match in the x-y plane. Local
+    anchor offsets are body-frame vectors (z = 0)."""
+
+    r1_local: tuple = (0.0, 0.0)
+    r2_local: tuple = (0.0, 0.0)
+    num_constraints: int = 2
+
+    def rows(self, state):
+        from ..utils.quaternion import quat_apply
+        from ..utils.spherical import skew_symmetric_mat
+
+        dtype = default_dtype()
+        eye = jnp.eye(3, dtype=dtype)
+        r1 = quat_apply(state.quat[self.body1],
+                        jnp.asarray([*self.r1_local, 0.0], dtype=dtype))
+        J1 = jnp.concatenate([-skew_symmetric_mat(r1), eye], axis=1)[:2]
+        J2 = None
+        if self.body2 is not None:
+            r2 = quat_apply(state.quat[self.body2],
+                            jnp.asarray([*self.r2_local, 0.0], dtype=dtype))
+            J2 = -jnp.concatenate([-skew_symmetric_mat(r2), eye], axis=1)[:2]
+        return J1, J2
+
+
+@dataclasses.dataclass(frozen=True)
+class FixedJoint2D(RevoluteJoint2D):
+    """Planar weld (reference FixedJoint, physics/constraints.py:78-114):
+    hinge rows + equal z angular velocity."""
+
+    num_constraints: int = 3
+
+    def rows(self, state):
+        J1, J2 = super().rows(state)
+        dtype = default_dtype()
+        rot_row = jnp.zeros((1, 6), dtype=dtype).at[0, 2].set(1.0)
+        J1 = jnp.concatenate([J1, rot_row])
+        if J2 is not None:
+            J2 = jnp.concatenate([J2, -rot_row])
+        return J1, J2
 
 
 def make_world_2d(bodies, poses_2d, vels_2d, joints=(), forces=(), no_contact=(), cfg=SimConfig()):
