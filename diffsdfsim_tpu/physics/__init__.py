@@ -19,4 +19,4 @@ from .joints import (
     GripperJoint,
 )
 from .forces import Gravity3D, ExternalForce3D, DOWN, UP, RIGHT, LEFT, FRONT, BACK, ROTX, ROTY, ROTZ, ZERO6
-from .world import WorldSpec, WorldState, make_world, step_frame, rollout, Trajectory
+from .world import WorldSpec, WorldState, make_world, step_frame, rollout, run_world, Trajectory

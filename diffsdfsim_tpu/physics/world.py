@@ -425,3 +425,40 @@ def rollout(
     )
     traj = Trajectory(t=recs.t, quat=recs.quat, pos=recs.pos, v=recs.v, valid=recs.valid)
     return final, traj
+
+
+def run_world(
+    spec: WorldSpec,
+    state: WorldState,
+    run_time: float = 10.0,
+    fixed_dt: bool = True,
+    recorder=None,
+    print_time: bool = False,
+):
+    """Host-loop convenience runner (reference run_world,
+    sdf_physics/physics3d/world.py:113-205): steps frames until
+    `state.t >= run_time`, optionally feeding a rendering Recorder3D
+    (rendering/recorder.py) each frame. For jitted/batched rollouts use
+    `rollout` instead.
+
+    Returns (final_state, list-of-frame Trajectory chunks)."""
+    import time as _time
+
+    step = jax.jit(lambda s: step_frame(spec, s)) if fixed_dt else jax.jit(
+        lambda s: step_frame(spec, s)
+    )
+    chunks = []
+    t_start = _time.time()
+    while float(state.t) < run_time:
+        state, had_contacts, recs = step(state)
+        chunks.append(recs)
+        if recorder is not None:
+            recorder.record(float(state.t), spec.bodies, state.quat, state.pos)
+        if print_time:
+            print(f"\r {float(state.t):.3f} / {_time.time() - t_start:.2f}s", end="")
+    if print_time:
+        print()
+    traj = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *chunks) if chunks else None
+    if traj is not None:
+        traj = Trajectory(t=traj.t, quat=traj.quat, pos=traj.pos, v=traj.v, valid=traj.valid)
+    return state, traj
