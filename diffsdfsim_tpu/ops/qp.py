@@ -304,8 +304,13 @@ def _lcp_bwd(max_iter, eps, not_improved_lim, res, dl_dzhat):
     neq = A.shape[-2]
     dtype = Q.dtype
 
-    # clamp to avoid blow-up on tiny slacks (lcp.py:174-176)
-    d = jnp.clip(lam, min=1e-8) / jnp.clip(slack, min=1e-8)
+    # clamp to avoid blow-up on tiny slacks (lcp.py:174-176). The reference
+    # only floors (f64); in f32 the strongly-active rows (slack -> 0, d huge)
+    # push the Schur complement past single-precision conditioning and the
+    # backward solve emits NaN — cap d as well (equivalent to adding 1/cap
+    # regularization to those rows' D^-1, a no-op in f64).
+    cap = 1e5 if dtype == jnp.float32 else 1e12
+    d = jnp.clip(jnp.clip(lam, min=1e-8) / jnp.clip(slack, min=1e-8), max=cap)
 
     cache = _pre_factor(Q, G, A, F)
     zeros_ineq = jnp.zeros((nb, nineq), dtype=dtype)
