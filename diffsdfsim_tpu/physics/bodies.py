@@ -50,6 +50,7 @@ def make_body(
     restitution=Defaults3D.RESTITUTION,
     fric_coeff=Defaults3D.FRIC_COEFF,
     custom_inertia: bool = Defaults3D.CUSTOM_INERTIA,
+    custom_mesh: bool = Defaults3D.CUSTOM_MESH,
     template: str = "auto",
     subdiv: int = 3,
     project_iters: int = 12,
@@ -60,10 +61,41 @@ def make_body(
 
     `template` picks the projection template: 'ico' (icosphere) or 'cube'
     (cube-sphere, better coverage of large flat faces); 'auto' selects by
-    shape type. Pass explicit `verts`/`faces` for a Mesh3D-style explicit
-    mesh body (reference bodies.py:596-624)."""
+    shape type. `custom_mesh=True` uses the analytic mesh for the shape
+    (reference custom_mesh option; required for BowlShape, whose shell the
+    star-shaped projection cannot represent). Pass explicit `verts`/`faces`
+    for a Mesh3D-style explicit mesh body (reference bodies.py:596-624)."""
     dtype = default_dtype()
     mass = jnp.asarray(mass, dtype=dtype)
+
+    kind = type(shape).__name__
+    if verts is None and (custom_mesh or kind == "BowlShape"):
+        from . import analytic_meshes as am
+
+        if kind == "BoxShape":
+            verts_m, faces_m = am.box_mesh(shape.dims, n=2**subdiv)
+        elif kind == "SphereShape":
+            verts_m, faces_m = am.sphere_mesh(shape.rad, subdivisions=subdiv + 1)
+        elif kind == "CylinderShape":
+            verts_m, faces_m = am.cylinder_mesh(shape.rad, shape.height)
+        elif kind == "BowlShape":
+            verts_m, faces_m = am.bowl_mesh(shape.r, shape.d)
+        else:
+            verts_m = None
+        if verts_m is not None:
+            if custom_inertia:
+                inertia = shape.ang_inertia(mass)
+                if inertia is None:
+                    inertia = ang_inertia_from_mesh(verts_m, jnp.asarray(faces_m), mass)
+            else:
+                inertia = ang_inertia_from_mesh(verts_m, jnp.asarray(faces_m), mass)
+            return BodyDef(
+                shape=shape, verts=verts_m, faces=np.asarray(faces_m), mass=mass,
+                ang_inertia=inertia,
+                restitution=jnp.asarray(restitution, dtype=dtype),
+                fric_coeff=jnp.asarray(fric_coeff, dtype=dtype),
+                is_sdf=True,
+            )
 
     if verts is None:
         if template == "auto":
