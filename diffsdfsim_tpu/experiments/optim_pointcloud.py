@@ -139,7 +139,7 @@ def erode_mask(mask):
     """3x3 binary erosion (reference seg-mask erosion)."""
     m = mask.astype(jnp.float32)
     m = -jax.lax.reduce_window(
-        -m, 0.0, jax.lax.max, (3, 3), (1, 1), "SAME"
+        -m, jnp.float32(0.0), jax.lax.max, (3, 3), (1, 1), "SAME"
     )
     return m > 0.5
 
