@@ -86,10 +86,30 @@ KEYMAP = {
 }
 
 
+def boxplot(errs_by_label: dict, out_path):
+    """Error boxplot across configurations (reference eval scripts produce
+    the paper's Tables 1-2 boxplots)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(1.5 + 1.2 * len(errs_by_label), 3.5))
+    labels = list(errs_by_label)
+    ax.boxplot([errs_by_label[k] for k in labels], tick_labels=labels)
+    ax.set_ylabel("parameter error")
+    ax.set_yscale("log")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    return out_path
+
+
 def main(argv=None):
     argv = argv or sys.argv[1:]
     if not argv:
-        raise SystemExit("usage: evaluate <outputs/experiment_dir> [expected_n]")
+        raise SystemExit("usage: evaluate <outputs/experiment_dir> [expected_n] [--plot]")
+    do_plot = "--plot" in argv
+    argv = [a for a in argv if a != "--plot"]
     base = Path(argv[0])
     expected = int(argv[1]) if len(argv) > 1 else None
     runs = read_runs(base)
@@ -101,6 +121,9 @@ def main(argv=None):
     out = base / "summary.json"
     out.write_text(json.dumps(stats, indent=2))
     print("wrote", out)
+    if do_plot and errs.size:
+        p = boxplot({base.name: errs.tolist()}, base / "errors.png")
+        print("wrote", p)
     return stats
 
 
