@@ -37,12 +37,21 @@ DEFAULTS = dict(
     run_time=1.0,
     max_iter=100,
     lr=1e-1,
-    min_val=0.2,
-    max_val=3.0,
+    min_val=0.0,  # 0 -> per-param default range (see PARAM_SETUP)
+    max_val=0.0,
     mesh_subdiv=2,
     n_par=1,
     base_dir="outputs",
 )
+
+# The pushed body must actually slide: push force > stiction mu*m*g for the
+# whole parameter range, or trajectories are identical and the loss has no
+# signal. Per-parameter (range, fixed mass, fixed force, fixed friction):
+PARAM_SETUP = {
+    "friction": dict(range=(0.15, 0.55), force=6.0, mass=1.0, fric=None),
+    "mass": dict(range=(0.2, 1.4), force=8.0, mass=None, fric=0.5),
+    "force": dict(range=(4.0, 8.0), force=None, mass=1.0, fric=0.3),
+}
 
 
 def build_cfg(c) -> SimConfig:
@@ -62,11 +71,13 @@ def build_cfg(c) -> SimConfig:
 
 
 def simulate(theta, c, cfg):
-    """theta maps to the optimized quantity; the others stay at defaults."""
+    """theta maps to the optimized quantity; the others stay at the
+    per-parameter setup values (PARAM_SETUP)."""
     dtype = default_dtype()
-    mass = theta if c["param"] == "mass" else jnp.asarray(1.0, dtype=dtype)
-    force_mag = theta if c["param"] == "force" else jnp.asarray(2.0, dtype=dtype)
-    fric = theta if c["param"] == "friction" else jnp.asarray(0.5, dtype=dtype)
+    setup = PARAM_SETUP[c["param"]]
+    mass = theta if c["param"] == "mass" else jnp.asarray(setup["mass"], dtype=dtype)
+    force_mag = theta if c["param"] == "force" else jnp.asarray(setup["force"], dtype=dtype)
+    fric = theta if c["param"] == "friction" else jnp.asarray(setup["fric"], dtype=dtype)
 
     floor = make_body(
         BoxShape(jnp.array([20.0, 1.0, 20.0], dtype=dtype)), fric_coeff=fric, subdiv=3
@@ -103,6 +114,8 @@ def run_one(key, c, cfg):
     dtype = default_dtype()
     kt, ks = jax.random.split(key)
     lo, hi = c["min_val"], c["max_val"]
+    if lo == 0.0 and hi == 0.0:
+        lo, hi = PARAM_SETUP[c["param"]]["range"]
     target_theta = jax.random.uniform(kt, (), minval=lo, maxval=hi, dtype=dtype)
     start_theta = jax.random.uniform(ks, (), minval=lo, maxval=hi, dtype=dtype)
 
