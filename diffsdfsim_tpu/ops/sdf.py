@@ -165,8 +165,9 @@ def brick_sdf(pts, dims, r):
 
 def grid_interp(grid, inds):
     """Trilinear interpolation of `grid` ((...C,) X,Y,Z) at fractional voxel
-    indices `inds` (N,3). Pure-JAX gather formulation (fuses well under XLA;
-    a Pallas HBM-resident variant lives in ops/grid_pallas.py for large grids).
+    indices `inds` (N,3). Pure-JAX gather formulation — XLA lowers this to
+    the TPU's native gather, measured faster than hand-rolled alternatives
+    (an experimental Pallas variant lives in ops/pallas_kernels.py).
     """
     shape = jnp.asarray(grid.shape[-3:], dtype=inds.dtype)
     i0 = jnp.clip(jnp.floor(inds), 0.0, shape - 2.0)
