@@ -136,10 +136,10 @@ def observe(c, cfg, spec, traj, cam, cam_pose, key, body_idx=1):
 
 
 def erode_mask(mask):
-    """3x3 binary erosion (reference seg-mask erosion)."""
+    """3x3 binary erosion (reference seg-mask erosion): min-pool."""
     m = mask.astype(jnp.float32)
-    m = -jax.lax.reduce_window(
-        -m, jnp.float32(0.0), jax.lax.max, (3, 3), (1, 1), "SAME"
+    m = jax.lax.reduce_window(
+        m, jnp.float32(jnp.inf), jax.lax.min, (3, 3), (1, 1), "SAME"
     )
     return m > 0.5
 
