@@ -38,3 +38,12 @@ def test_pointcloud_unprojection():
     # center pixel maps to ~(0, 0, 2)
     np.testing.assert_allclose(np.asarray(pc[24, 32]), [0.008/ cam.fx * 0, 0.0, 2.0], atol=0.05)
     assert pc.shape == (48, 64, 3)
+
+
+def test_erode_mask():
+    from diffsdfsim_tpu.experiments.optim_pointcloud import erode_mask
+
+    m = jnp.zeros((9, 9), dtype=bool).at[2:7, 2:7].set(True)
+    e = np.asarray(erode_mask(m))
+    assert e.sum() == 9  # 5x5 block erodes to 3x3
+    assert e[4, 4] and not e[2, 2]
