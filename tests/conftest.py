@@ -17,3 +17,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert jax.default_backend() == "cpu"
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Free compiled executables between test modules — the XLA CPU compiler
+    has segfaulted from memory pressure ~90 compiles into a full-suite run."""
+    yield
+    jax.clear_caches()
