@@ -106,8 +106,11 @@ def main():
     else:
         grad_fn = jax.jit(jax.value_and_grad(loss_fn))
         rad = jnp.asarray(RAD)
-        val, g = grad_fn(rad)
-        val.block_until_ready()
+        # two warmup rounds: the first post-compile execution through the
+        # remote-TPU tunnel can be ~20x slow (cache population)
+        for w in range(2):
+            val, g = grad_fn(rad + 1e-5 * w)
+            g.block_until_ready()
         n_rep = 5
         t0 = time.perf_counter()
         for i in range(n_rep):
