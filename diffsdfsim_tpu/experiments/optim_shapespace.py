@@ -43,7 +43,7 @@ DEFAULTS = dict(
     run_time=1.2,
     max_iter=60,
     lr=1e-2,
-    latent_reg=1e-2,
+    latent_reg=1e-3,
     latent_size=2,
     scale=1.0,
     mesh_subdiv=2,
