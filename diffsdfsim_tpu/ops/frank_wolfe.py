@@ -57,30 +57,40 @@ def frank_wolfe(
     x_init = pqr[f_idx, init_ind]
     abc_init = jax.nn.one_hot(init_ind, 3, dtype=pqr.dtype)
 
-    def body(it, carry):
-        x, abc, active = carry
+    # The reference breaks the loop as soon as every face's improvement is
+    # below tol or any penetration is found (contacts.py:75-78) — typically
+    # after a handful of iterations, and after ONE iteration when no face is
+    # a candidate (the common no-contact frame). This runs gradient-free, so
+    # a dynamic-trip-count while_loop is free to use and saves the bulk of
+    # the sequential per-frame op chain on TPU.
+    def cond_fn(carry):
+        it, x, abc, active = carry
+        return active & (it < iters)
+
+    def body(carry):
+        it, x, abc, active = carry
         sdfs, grads = query_fn(x)
         # linear minimization oracle: corner minimizing grad . corner
         dpqr = jnp.einsum("fvc,fc->fv", pqr, grads)
         ind = jnp.argmin(dpqr, axis=1)
         s = pqr[f_idx, ind]
 
-        gamma = 2.0 / (it + 2.0)
+        gamma = 2.0 / (it.astype(x.dtype) + 2.0)
         impr = jnp.sum((x - s) * grads, axis=-1)
         gamma = gamma * (jnp.abs(impr) > tol).astype(x.dtype)
         gamma = jnp.where(cand, gamma, 0.0)
 
-        # global early stops (contacts.py:75-78): freeze every face
+        # global early stops (contacts.py:75-78)
         stop = jnp.all(gamma == 0.0) | jnp.any(jnp.where(cand, sdfs, 0.0) < -tol)
         active = active & ~stop
 
         g = jnp.where(active, gamma, 0.0)[:, None]
         x_new = (1.0 - g) * x + g * s
         abc_new = abc * (1.0 - g) + g * jax.nn.one_hot(ind, 3, dtype=abc.dtype)
-        return x_new, abc_new, active
+        return it + 1, x_new, abc_new, active
 
-    x, abc, _ = jax.lax.fori_loop(
-        0, iters, body, (x_init, abc_init, jnp.asarray(True))
+    _, x, abc, _ = jax.lax.while_loop(
+        cond_fn, body, (jnp.zeros((), jnp.int32), x_init, abc_init, jnp.any(cand))
     )
     return FWResult(abc=abc, x=x, cand=cand, contact_mask=cand, sdfs=corner_sdfs[:, 0])
 

@@ -59,7 +59,7 @@ def box_sdf_grad(pts, dims):
 
 
 def sphere_sdf(pts, rad):
-    return jnp.linalg.norm(pts, axis=-1) - rad
+    return _safe_norm(pts) - rad
 
 
 def sphere_sdf_grad(pts, rad):
@@ -68,7 +68,7 @@ def sphere_sdf_grad(pts, rad):
 
 def cylinder_sdf(pts, rad, height):
     """Capped cylinder along z (reference :87-100)."""
-    r_xy = jnp.linalg.norm(pts[..., :2], axis=-1)
+    r_xy = _safe_norm(pts[..., :2])
     ps = jnp.stack([r_xy, pts[..., 2]], axis=-1)
     lim = jnp.stack([jnp.broadcast_to(rad, r_xy.shape), jnp.broadcast_to(height / 2.0, r_xy.shape)], axis=-1)
     q = jnp.abs(ps) - lim
@@ -79,7 +79,7 @@ def cylinder_sdf(pts, rad, height):
 
 def cylinder_sdf_grad(pts, rad, height):
     """Cylinder gradient with failsafe ties (reference :103-125)."""
-    r_xy = jnp.linalg.norm(pts[..., :2], axis=-1)
+    r_xy = _safe_norm(pts[..., :2])
     ps = jnp.stack([r_xy, pts[..., 2]], axis=-1)
     lim = jnp.stack([jnp.broadcast_to(rad, r_xy.shape), jnp.broadcast_to(height / 2.0, r_xy.shape)], axis=-1)
     q = jnp.abs(ps) - lim
@@ -101,9 +101,9 @@ def bowl_sdf(pts, r, d):
     The bowl opens along +z; its center is shifted by r/2 along z.
     """
     z = pts[..., 2] - r / 2.0
-    r_xy = jnp.linalg.norm(pts[..., :2], axis=-1)
+    r_xy = _safe_norm(pts[..., :2])
     ps = jnp.stack([r_xy, z], axis=-1)
-    ps_norm = jnp.linalg.norm(ps, axis=-1)
+    ps_norm = _safe_norm(ps)
     p0 = jnp.where(z < 0, ps_norm, r_xy)
     p0 = jnp.abs(p0 - r) - d
     q = jnp.stack([p0, z], axis=-1)
@@ -114,9 +114,9 @@ def bowl_sdf_grad(pts, r, d):
     """Bowl gradient (reference :145-163)."""
     z = pts[..., 2] - r / 2.0
     pts_s = jnp.concatenate([pts[..., :2], z[..., None]], axis=-1)
-    r_xy = jnp.linalg.norm(pts[..., :2], axis=-1)
+    r_xy = _safe_norm(pts[..., :2])
     ps = jnp.stack([r_xy, z], axis=-1)
-    ps_norm = jnp.linalg.norm(ps, axis=-1)
+    ps_norm = _safe_norm(ps)
     p0 = jnp.where(z < 0, ps_norm, r_xy)
     p0 = jnp.abs(p0 - r) - d
 

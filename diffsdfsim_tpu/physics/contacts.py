@@ -182,25 +182,43 @@ def search_contacts_pair(
             s1, g1 = bd1s.query_sdfs(x_b1)
             return -s1[..., None] * quat_apply(q21, g1)
 
-    fw = finalize_fw(fw, lambda p: bd2s.query_sdfs(p), cfg.eps, push_fn)
+    # the entire contact-quantity + filtering phase only matters when some
+    # face is a candidate; the common far-apart frame skips it at runtime
+    def with_candidates(_):
+        fwf = finalize_fw(fw, lambda p: bd2s.query_sdfs(p), cfg.eps, push_fn)
+        # no-grad contact quantities over all faces (filtering + acceptance).
+        # The Laplacian stability test is skipped here: it selects WHICH
+        # body's normal to report (contacts.py:184-202) but never changes
+        # distances, so the penetration acceptance (pen = -dist2) is exact,
+        # and for touching surfaces -R1 n1 ≈ R2 n2 so normal clustering is
+        # unaffected. The differentiable recompute applies the exact test.
+        n_ng, p1_ng, _, pen_ng = _compute_contacts(
+            bd1s, q1s, p1s, bd2s, q2s, p2s,
+            sg(fwf.abc), jnp.arange(fwf.abc.shape[0]), fwf.contact_mask,
+            cfg.eps, cfg.detach_contact_b2, with_stability=False,
+        )
+        max_pen = jnp.max(jnp.where(fwf.contact_mask, pen_ng, -jnp.inf))
+        sel_idx, sel_valid = filter_contacts(n_ng, p1_ng, fwf.contact_mask, k_out=k)
+        return PairCache(
+            abc_sel=sg(fwf.abc)[sel_idx], sel_idx=sel_idx,
+            sel_valid=sel_valid, max_pen=max_pen,
+        )
 
-    # no-grad contact quantities over all faces (for filtering + acceptance).
-    # The Laplacian stability test is skipped here: it selects WHICH body's
-    # normal to report (contacts.py:184-202) but never changes distances, so
-    # the penetration acceptance (pen = -dist2) is exact, and for touching
-    # surfaces -R1 n1 ≈ R2 n2 so normal clustering is unaffected. The
-    # differentiable recompute applies the exact stability test.
-    n_ng, p1_ng, _, pen_ng = _compute_contacts(
-        bd1s, q1s, p1s, bd2s, q2s, p2s,
-        sg(fw.abc), jnp.arange(fw.abc.shape[0]), fw.contact_mask,
-        cfg.eps, cfg.detach_contact_b2, with_stability=False,
-    )
-    max_pen = jnp.max(jnp.where(fw.contact_mask, pen_ng, -jnp.inf))
+    def without_candidates(_):
+        dtype = fw.abc.dtype
+        return PairCache(
+            abc_sel=jnp.zeros((k, 3), dtype=dtype),
+            sel_idx=jnp.zeros((k,), dtype=jnp.int32),
+            sel_valid=jnp.zeros((k,), dtype=bool),
+            max_pen=jnp.asarray(-jnp.inf, dtype=dtype),
+        )
 
-    sel_idx, sel_valid = filter_contacts(n_ng, p1_ng, fw.contact_mask, k_out=k)
-    return PairCache(
-        abc_sel=sg(fw.abc)[sel_idx], sel_idx=sel_idx, sel_valid=sel_valid, max_pen=max_pen
-    )
+    cache = jax.lax.cond(jnp.any(fw.cand), with_candidates, without_candidates, None)
+    # sever: every leaf is already gradient-free data, but consuming cond
+    # outputs downstream in a differentiated context otherwise pulls the
+    # cond (and its masked-NaN interior arithmetic) onto the transpose path
+    # (see CLAUDE.md autodiff landmine #2)
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, cache)
 
 
 def find_contacts_pair(
