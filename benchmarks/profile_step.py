@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Component-level TPU profiling of the hot step path.
+
+Times each hot component by chaining K dependent iterations inside one jit
+(lax.scan) and measuring the MARGINAL cost across N pipelined launches —
+the same tunnel-latency-robust methodology as bench.py.
+
+Usage: python benchmarks/profile_step.py [component ...]
+Components: linalg pdipm fw recompute stepframe rollout
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+K_SMALL = 64
+K_BIG = 256
+
+
+def _chain(body_fn, k):
+    def chained(x):
+        def f(c, _):
+            return body_fn(c), None
+
+        out, _ = jax.lax.scan(f, x, None, length=k)
+        return out
+
+    return jax.jit(chained)
+
+
+def _timed_call(fn, arg, n=4):
+    # min over n pipelined-call timings; each call is launch+fetch, so the
+    # ~30 ms tunnel per-call overhead is constant and cancels in the K-diff
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn(arg)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def per_iter_time(body_fn, arg):
+    """Seconds per iteration of body_fn: difference of two chain lengths
+    cancels the fixed per-launch tunnel overhead (~30 ms)."""
+    f_small = _chain(body_fn, K_SMALL)
+    f_big = _chain(body_fn, K_BIG)
+    _timed_call(f_small, arg, n=2)  # warmup/compile
+    _timed_call(f_big, arg, n=2)
+    t_small = _timed_call(f_small, arg)
+    t_big = _timed_call(f_big, arg)
+    return max(t_big - t_small, 1e-12) / (K_BIG - K_SMALL)
+
+
+def build_scene():
+    from diffsdfsim_tpu.config import SimConfig
+    from diffsdfsim_tpu.physics import (
+        BoxShape,
+        Gravity3D,
+        SphereShape,
+        TotalConstraint3D,
+        make_body,
+        make_world,
+    )
+
+    cfg = SimConfig(
+        fric_dirs=8,
+        max_contacts_per_pair=4,
+        max_contacts_total=4,
+        mesh_subdiv=2,
+        max_substeps=4,
+        max_bisect=8,
+        tol=1e-5,
+    )
+    floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0])), subdiv=3, fric_coeff=0.25)
+    sphere = make_body(SphereShape(0.5), subdiv=2, fric_coeff=0.25)
+    # resting-contact pose: sphere just touching the floor top (y = 0.5)
+    poses = jnp.array([[1.0, 0, 0, 0, 0.0, -0.5, 0.0], [1.0, 0, 0, 0, 0.0, 0.4999, 0.0]])
+    vels = jnp.zeros((2, 6))
+    spec, state = make_world(
+        [floor, sphere],
+        poses,
+        vels,
+        joints=(TotalConstraint3D(body1=0),),
+        forces=((), (Gravity3D(10.0),)),
+        cfg=cfg,
+    )
+    return spec, state
+
+
+def main():
+    want = set(sys.argv[1:]) or {
+        "linalg",
+        "pdipm",
+        "fw",
+        "recompute",
+        "stepframe",
+        "rollout",
+    }
+    print(f"backend={jax.default_backend()} devices={len(jax.devices())}")
+    results = {}
+
+    if "linalg" in want:
+        key = jax.random.PRNGKey(0)
+        n = 46
+        S = jax.random.normal(key, (n, n)) + n * jnp.eye(n)
+        Sb = jax.random.normal(key, (16, n, n)) + n * jnp.eye(n)
+        SPD = S @ S.T + n * jnp.eye(n)
+
+        def lu_body(x):
+            y = jnp.linalg.solve(S + x[0] * 1e-30, x)
+            return y / jnp.linalg.norm(y)
+
+        def lub_body(x):
+            y = jnp.linalg.solve(Sb + x[:, 0, None, None] * 1e-30, x[..., None])[..., 0]
+            return y / jnp.linalg.norm(y, axis=-1, keepdims=True)
+
+        def inv_body(x):
+            y = jnp.linalg.inv(S + x[0] * 1e-30) @ x
+            return y / jnp.linalg.norm(y)
+
+        def chol_body(x):
+            c = jnp.linalg.cholesky(SPD + x[0] * 1e-30)
+            y = jax.scipy.linalg.cho_solve((c, True), x)
+            return y / jnp.linalg.norm(y)
+
+        x0 = jnp.ones((n,))
+        xb0 = jnp.ones((16, n))
+        results["lu_solve 46x46"] = per_iter_time(lu_body, x0)
+        results["lu_solve b16 46x46"] = per_iter_time(lub_body, xb0)
+        results["inv+matvec 46x46"] = per_iter_time(inv_body, x0)
+        results["chol+solve 46x46"] = per_iter_time(chol_body, x0)
+
+    if want & {"pdipm", "fw", "recompute", "stepframe", "rollout"}:
+        spec, state = build_scene()
+        from diffsdfsim_tpu.physics.contacts import find_contacts, search_contacts
+        from diffsdfsim_tpu.physics.engine import solve_dynamics
+        from diffsdfsim_tpu.physics.world import step_frame
+
+        cfg = spec.cfg
+
+    if "pdipm" in want:
+        contacts = jax.jit(
+            lambda q, p: find_contacts(
+                spec.bodies, q, p, spec.directed_pairs, spec.n_unordered, cfg
+            )
+        )(state.quat, state.pos)
+        print("valid contacts:", int(jnp.sum(contacts.valid)))
+
+        def pd_body(v):
+            st = state.replace(v=v.reshape(-1, 6))
+            nv = solve_dynamics(
+                spec.bodies, spec.joints, spec.forces, st, contacts, cfg.dt, cfg
+            )
+            return 0.9 * nv + 0.1 * v
+
+        results["solve_dynamics (PDIPM, 4 contacts)"] = per_iter_time(
+            pd_body, state.v.reshape(-1)
+        )
+
+    if "fw" in want:
+
+        def fw_body(pos):
+            cache = search_contacts(spec.bodies, state.quat, pos, spec.directed_pairs, cfg)
+            mp = jnp.where(jnp.isfinite(cache.max_pen_all), cache.max_pen_all, 0.0)
+            return pos + 1e-12 * mp
+
+        results["search_contacts (FW both pairs)"] = (
+            per_iter_time(fw_body, state.pos)
+        )
+
+    if "recompute" in want:
+        cache0 = jax.jit(
+            lambda q, p: search_contacts(spec.bodies, q, p, spec.directed_pairs, cfg)
+        )(state.quat, state.pos)
+
+        def rc_body(pos):
+            cts = find_contacts(
+                spec.bodies, state.quat, pos, spec.directed_pairs,
+                spec.n_unordered, cfg, cache=cache0,
+            )
+            return pos + 1e-12 * jnp.sum(cts.pen)
+
+        results["find_contacts recompute (cached)"] = (
+            per_iter_time(rc_body, state.pos)
+        )
+
+    if "stepframe" in want:
+
+        def sf_body(st):
+            st2, _, _ = step_frame(spec, st)
+            return st2
+
+        results["step_frame (fwd)"] = per_iter_time(sf_body, state)
+
+    if "rollout" in want:
+        from diffsdfsim_tpu.physics import rollout
+
+        def make_loss(n):
+            def loss(st):
+                final, traj = rollout(spec, st, n_frames=n)
+                return jnp.sum(traj.pos[:, :, 1, :] ** 2 * traj.valid[:, :, None])
+
+            return loss
+
+        def frames_diff(make_fn):
+            f_small = jax.jit(make_fn(make_loss(16)))
+            f_big = jax.jit(make_fn(make_loss(64)))
+            _timed_call(f_small, state, n=2)
+            _timed_call(f_big, state, n=2)
+            return max(
+                _timed_call(f_big, state) - _timed_call(f_small, state), 1e-12
+            ) / (64 - 16)
+
+        results["rollout frame (fwd only)"] = frames_diff(lambda l: l)
+        results["rollout frame (fwd+bwd)"] = frames_diff(
+            lambda l: (lambda st: jax.grad(lambda p: l(st.replace(pos=p)))(st.pos))
+        )
+
+    print()
+    for k, v in results.items():
+        print(f"{k:42s} {v * 1e6:10.1f} us")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Multi-chip sharding tests (8 virtual CPU devices from conftest).
+
+Covers diffsdfsim_tpu/parallel/sharding.py: the seed/scene batch axis is
+sharded over a 1-D device mesh (the framework's real parallelism layout —
+SURVEY.md §2.9: the workload is embarrassingly data-parallel over seeds;
+reference has no distributed execution at all). Asserts the sharded
+value_and_grad rollout matches the unsharded one bitwise-close.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffsdfsim_tpu.parallel.sharding import batched_rollout, make_mesh, shard_batch
+
+
+def _bounce_loss():
+    from diffsdfsim_tpu.config import SimConfig
+    from diffsdfsim_tpu.physics import (
+        BoxShape,
+        Gravity3D,
+        SphereShape,
+        TotalConstraint3D,
+        make_body,
+        make_world,
+        rollout,
+    )
+
+    cfg = SimConfig(
+        fric_dirs=4,
+        max_contacts_per_pair=2,
+        max_contacts_total=2,
+        mesh_subdiv=1,
+        max_substeps=2,
+        max_bisect=3,
+    )
+
+    def loss_fn(args):
+        rad, drop_h = args
+        floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0])), subdiv=2, fric_coeff=0.25)
+        sphere = make_body(SphereShape(rad), subdiv=1, fric_coeff=0.25)
+        poses = jnp.array(
+            [[1.0, 0, 0, 0, 0.0, -0.5, 0.0], [1.0, 0, 0, 0, 0.0, 0.0, 0.0]]
+        )
+        poses = poses.at[1, 5].set(drop_h)
+        vels = jnp.zeros((2, 6))
+        spec, state = make_world(
+            [floor, sphere],
+            poses,
+            vels,
+            joints=(TotalConstraint3D(body1=0),),
+            forces=((), (Gravity3D(10.0),)),
+            cfg=cfg,
+        )
+        final, traj = rollout(spec, state, n_frames=2)
+        return jnp.sum(traj.pos[:, :, 1, :] ** 2 * traj.valid[:, :, None])
+
+    return loss_fn
+
+
+@pytest.fixture(scope="module")
+def seed_batch():
+    n = 8
+    rads = jnp.linspace(0.4, 0.7, n)
+    drops = jnp.linspace(1.0, 1.5, n)
+    return (rads, drops)
+
+
+@pytest.fixture(scope="module")
+def unsharded_result(seed_batch):
+    step = batched_rollout(jax.value_and_grad(_bounce_loss()))
+    vals, grads = step(seed_batch)
+    return np.asarray(vals), jax.tree_util.tree_map(np.asarray, grads)
+
+
+def test_mesh_has_eight_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("batch",)
+
+
+def test_shard_batch_places_on_mesh(seed_batch):
+    mesh = make_mesh()
+    sharded = shard_batch(seed_batch, mesh)
+    for leaf in jax.tree_util.tree_leaves(sharded):
+        assert len(leaf.sharding.device_set) == 8
+        # each device holds exactly 1 of the 8 batch entries
+        shard_shapes = {s.data.shape for s in leaf.addressable_shards}
+        assert shard_shapes == {(1,)}
+
+
+def test_sharded_value_and_grad_matches_unsharded(seed_batch, unsharded_result):
+    vals_ref, grads_ref = unsharded_result
+    mesh = make_mesh()
+    step = batched_rollout(jax.value_and_grad(_bounce_loss()), mesh=mesh)
+    vals, grads = step(shard_batch(seed_batch, mesh))
+    assert len(vals.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(vals), vals_ref, rtol=1e-12, atol=1e-12)
+    for g, gr in zip(jax.tree_util.tree_leaves(grads), jax.tree_util.tree_leaves(grads_ref)):
+        np.testing.assert_allclose(np.asarray(g), gr, rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_loss_reduction_psum(seed_batch, unsharded_result):
+    """A psum-style reduced loss over the sharded batch (XLA inserts the
+    collective from the sharding annotation) matches the host-side sum."""
+    vals_ref, _ = unsharded_result
+    mesh = make_mesh()
+    loss = _bounce_loss()
+    vf = jax.jit(
+        lambda args: jnp.sum(jax.vmap(loss)(args)),
+        in_shardings=jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("batch")),
+    )
+    total = vf(shard_batch(seed_batch, mesh))
+    np.testing.assert_allclose(float(total), float(vals_ref.sum()), rtol=1e-10)
