@@ -9,17 +9,24 @@ Usage: python benchmarks/profile_step.py [component ...]
 Components: linalg pdipm fw recompute stepframe rollout
 """
 
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 K_SMALL = 64
 K_BIG = 256
 
 
 def _chain(body_fn, k):
+    """K dependent iterations of body_fn inside one jit."""
     def chained(x):
         def f(c, _):
             return body_fn(c), None
@@ -42,16 +49,16 @@ def _timed_call(fn, arg, n=4):
     return best
 
 
-def per_iter_time(body_fn, arg):
+def per_iter_time(body_fn, arg, k_small=K_SMALL, k_big=K_BIG):
     """Seconds per iteration of body_fn: difference of two chain lengths
     cancels the fixed per-launch tunnel overhead (~30 ms)."""
-    f_small = _chain(body_fn, K_SMALL)
-    f_big = _chain(body_fn, K_BIG)
+    f_small = _chain(body_fn, k_small)
+    f_big = _chain(body_fn, k_big)
     _timed_call(f_small, arg, n=2)  # warmup/compile
     _timed_call(f_big, arg, n=2)
     t_small = _timed_call(f_small, arg)
     t_big = _timed_call(f_big, arg)
-    return max(t_big - t_small, 1e-12) / (K_BIG - K_SMALL)
+    return max(t_big - t_small, 1e-12) / (k_big - k_small)
 
 
 def build_scene():
@@ -99,6 +106,8 @@ def main():
         "stepframe",
         "rollout",
     }
+    if "rollout_fwd" in want or "rollout_bwd" in want:
+        want.add("rollout")
     print(f"backend={jax.default_backend()} devices={len(jax.devices())}")
     results = {}
 
@@ -157,7 +166,7 @@ def main():
             return 0.9 * nv + 0.1 * v
 
         results["solve_dynamics (PDIPM, 4 contacts)"] = per_iter_time(
-            pd_body, state.v.reshape(-1)
+            pd_body, state.v.reshape(-1), k_small=16, k_big=64
         )
 
     if "fw" in want:
@@ -167,8 +176,8 @@ def main():
             mp = jnp.where(jnp.isfinite(cache.max_pen_all), cache.max_pen_all, 0.0)
             return pos + 1e-12 * mp
 
-        results["search_contacts (FW both pairs)"] = (
-            per_iter_time(fw_body, state.pos)
+        results["search_contacts (FW both pairs)"] = per_iter_time(
+            fw_body, state.pos, k_small=16, k_big=64
         )
 
     if "recompute" in want:
@@ -183,8 +192,8 @@ def main():
             )
             return pos + 1e-12 * jnp.sum(cts.pen)
 
-        results["find_contacts recompute (cached)"] = (
-            per_iter_time(rc_body, state.pos)
+        results["find_contacts recompute (cached)"] = per_iter_time(
+            rc_body, state.pos, k_small=16, k_big=64
         )
 
     if "stepframe" in want:
@@ -193,7 +202,9 @@ def main():
             st2, _, _ = step_frame(spec, st)
             return st2
 
-        results["step_frame (fwd)"] = per_iter_time(sf_body, state)
+        results["step_frame (fwd)"] = per_iter_time(
+            sf_body, state, k_small=8, k_big=32
+        )
 
     if "rollout" in want:
         from diffsdfsim_tpu.physics import rollout
@@ -214,10 +225,12 @@ def main():
                 _timed_call(f_big, state) - _timed_call(f_small, state), 1e-12
             ) / (64 - 16)
 
-        results["rollout frame (fwd only)"] = frames_diff(lambda l: l)
-        results["rollout frame (fwd+bwd)"] = frames_diff(
-            lambda l: (lambda st: jax.grad(lambda p: l(st.replace(pos=p)))(st.pos))
-        )
+        if "rollout_bwd" not in want:
+            results["rollout frame (fwd only)"] = frames_diff(lambda l: l)
+        if "rollout_fwd" not in want:
+            results["rollout frame (fwd+bwd)"] = frames_diff(
+                lambda l: (lambda st: jax.grad(lambda p: l(st.replace(pos=p)))(st.pos))
+            )
 
     print()
     for k, v in results.items():

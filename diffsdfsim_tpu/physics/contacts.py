@@ -30,7 +30,7 @@ from flax import struct
 
 from ..config import SimConfig
 from ..ops.filtering import filter_contacts
-from ..ops.frank_wolfe import frank_wolfe, finalize_fw
+from ..ops.frank_wolfe import finalize_fw, frank_wolfe_multi
 from ..utils.quaternion import quat_apply, quat_invert, quat_multiply
 from .bodies import BodyDef
 
@@ -105,21 +105,18 @@ def _compute_contacts(
     d2, n2 = bd2.query_sdfs(cp_b2)
 
     if bd1.is_sdf and with_stability:
-        # 6-point Laplacian stability test (contacts.py:184-202)
+        # 6-point Laplacian stability test (contacts.py:184-202), all six
+        # offsets batched into ONE SDF query per body (the sequential
+        # per-axis queries would be 12 latency-bound tiny ops on TPU)
         eye = jnp.eye(3, dtype=cp_b1.dtype) * eps
-        lap1 = jnp.zeros_like(d1)
-        lap2 = jnp.zeros_like(d2)
-        for i in range(3):
-            lap1 = lap1 + (
-                bd1.query_sdfs(cp_b1 + eye[i], return_grads=False)
-                - 2 * d1
-                + bd1.query_sdfs(cp_b1 - eye[i], return_grads=False)
-            )
-            lap2 = lap2 + (
-                bd2.query_sdfs(cp_b2 + eye[i], return_grads=False)
-                - 2 * d2
-                + bd2.query_sdfs(cp_b2 - eye[i], return_grads=False)
-            )
+        offs = jnp.concatenate([eye, -eye], axis=0)  # (6,3)
+        n = cp_b1.shape[0]
+        pts1 = (cp_b1[None, :, :] + offs[:, None, :]).reshape(-1, 3)
+        pts2 = (cp_b2[None, :, :] + offs[:, None, :]).reshape(-1, 3)
+        s1 = bd1.query_sdfs(pts1, return_grads=False).reshape(6, n)
+        s2 = bd2.query_sdfs(pts2, return_grads=False).reshape(6, n)
+        lap1 = jnp.sum(s1, axis=0) - 6 * d1
+        lap2 = jnp.sum(s2, axis=0) - 6 * d2
         stable = (jnp.abs(lap2) < jnp.abs(lap1))[..., None]
         normals = quat_apply(q2, n2) * stable - quat_apply(q1, n1) * (~stable)
     else:
@@ -147,30 +144,26 @@ class PairCache(NamedTuple):
     max_pen: jnp.ndarray  # () over ALL candidates (step acceptance)
 
 
-def search_contacts_pair(
-    bd1: BodyDef,
-    q1,
-    pos1,
-    bd2: BodyDef,
-    q2,
-    pos2,
-    cfg: SimConfig,
-) -> PairCache:
-    """One directed pair's gradient-free phase: FW search over all faces,
-    penetration measurement, and filtering to K = cfg.max_contacts_per_pair
-    representative candidates. The reference runs exactly this under
-    torch.no_grad (contacts.py:255-261)."""
-    k = cfg.max_contacts_per_pair
-
+def _fw_setup(bd1: BodyDef, q1, pos1, bd2: BodyDef, q2, pos2):
+    """Stop-gradient inputs of one directed pair's FW search: triangles of
+    bd1's surface in bd2's local metric frame + bd2's SDF query."""
     sg = jax.lax.stop_gradient
     q1s, p1s, q2s, p2s = sg(q1), sg(pos1), sg(q2), sg(pos2)
     bd1s = jax.tree_util.tree_map(sg, bd1)
     bd2s = jax.tree_util.tree_map(sg, bd2)
-
     verts_b2 = quat_apply(quat_invert(q2s), quat_apply(q1s, bd1s.verts) + p1s - p2s)
-    fw = frank_wolfe(
-        verts_b2, jnp.asarray(bd1.faces), lambda p: bd2s.query_sdfs(p), cfg.eps, cfg.tol, cfg.fw_iters
-    )
+    pqr = verts_b2[jnp.asarray(bd1.faces)]
+    return pqr, (lambda p: bd2s.query_sdfs(p)), (q1s, p1s, q2s, p2s, bd1s, bd2s)
+
+
+def _finish_pair(bd1: BodyDef, bd2: BodyDef, sg_frames, fw, cfg: SimConfig) -> PairCache:
+    """Post-FW gradient-free phase of one directed pair: surface push +
+    contact test, penetration measurement, and filtering to
+    K = cfg.max_contacts_per_pair representative candidates. The reference
+    runs exactly this under torch.no_grad (contacts.py:255-264)."""
+    k = cfg.max_contacts_per_pair
+    sg = jax.lax.stop_gradient
+    q1s, p1s, q2s, p2s, bd1s, bd2s = sg_frames
 
     push_fn = None
     if bd1.is_sdf:
@@ -221,6 +214,22 @@ def search_contacts_pair(
     return jax.tree_util.tree_map(jax.lax.stop_gradient, cache)
 
 
+def search_contacts_pair(
+    bd1: BodyDef,
+    q1,
+    pos1,
+    bd2: BodyDef,
+    q2,
+    pos2,
+    cfg: SimConfig,
+) -> PairCache:
+    """One directed pair's gradient-free phase: FW search over all faces,
+    then push/penetration/filtering (see _fw_setup/_finish_pair)."""
+    pqr, query_fn, sg_frames = _fw_setup(bd1, q1, pos1, bd2, q2, pos2)
+    fw = frank_wolfe_multi([pqr], [query_fn], cfg.eps, cfg.tol, cfg.fw_iters)[0]
+    return _finish_pair(bd1, bd2, sg_frames, fw, cfg)
+
+
 def find_contacts_pair(
     bd1: BodyDef,
     q1,
@@ -259,7 +268,12 @@ def search_contacts(
     cfg: SimConfig,
 ) -> ContactCache:
     """Gradient-free search for all pairs, including the SDF-SDF overlap and
-    direction-2 gating (contacts.py:233-240)."""
+    direction-2 gating (contacts.py:233-240).
+
+    The pairs run as independent while_loops (like the reference's per-pair
+    calls, contacts.py:233-240): a fused lockstep loop was measured SLOWER
+    on TPU because every iteration pays every pair's SDF queries until the
+    slowest pair converges, while independent loops exit per pair."""
     caches, gates = [], []
     pair_pens = {}
     for dp in directed_pairs:

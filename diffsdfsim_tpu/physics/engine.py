@@ -229,16 +229,21 @@ def solve_dynamics(
             jnp.zeros((1, neq), dtype=dtype),
             F[None],
         )
+        structure = ("fric", k, fd)
+        # dtype-aware convergence threshold: the reference default 1e-12 is
+        # below f32 resolution, so in f32 the early exit would never fire and
+        # every solve would pay max_iter regardless of convergence
+        eps = cfg.solver_eps if dtype == jnp.float64 else max(cfg.solver_eps, 1e-6)
         if lcp_sol is not None:
-            x = lcp_solve_from_solution(*args, lcp_sol)
+            x = lcp_solve_from_solution(*args, lcp_sol, structure)
             sol = lcp_sol
         elif return_sol:
             x, y, z, s = pdipm_solve_raw(
-                *args, cfg.solver_max_iter, cfg.solver_eps, 3
+                *args, cfg.solver_max_iter, eps, 3, structure
             )
             sol = (x, y, z, s)
         else:
-            x = lcp_solve(*args, cfg.solver_max_iter, cfg.solver_eps, 3)
+            x = lcp_solve(*args, cfg.solver_max_iter, eps, 3, structure)
             sol = _zero_sol()
         return -x[0, : 6 * nb], sol
 
@@ -294,6 +299,7 @@ def post_stabilization(bodies, joints, state, contacts: Contacts, cfg: SimConfig
             cfg.solver_max_iter,
             cfg.solver_eps,
             3,
+            ("plain",),
         )
         return -x[0, : 6 * nb]
 

@@ -196,17 +196,19 @@ def _attempt(spec: WorldSpec, state: WorldState, dt_):
     return new_v, q2, p2, contacts, ok
 
 
-def _search_halvings(spec: WorldSpec, state: WorldState, dt_frame):
-    """Gradient-free bisection search starting at k=1 (k=0 was already
-    probed): smallest k with a penetration-free step at dt_frame / 2^k
-    (reference world.py:344-356). Carries the accepted trial's contact
-    cache for the replay."""
+def _search_halvings(spec: WorldSpec, state: WorldState, dt_frame, ok0, cache0):
+    """Gradient-free bisection search: smallest k with a penetration-free
+    step at dt_frame / 2^k (reference world.py:344-356), seeded with the
+    already-probed k=0 trial. Carries the accepted trial's contact cache for
+    the replay.
+
+    This is ONE uniform while_loop (no cond between a no-bisect and a bisect
+    branch): in the common penetration-free substep it performs zero extra
+    probes, and under vmap it avoids executing a second, branch-duplicated
+    replay for every lane."""
     sg = jax.lax.stop_gradient
     state = jax.tree_util.tree_map(sg, state)
     dt_frame = sg(dt_frame)
-
-    def trial(k):
-        return _probe(spec, state, dt_frame * 0.5**k)
 
     def cond(c):
         k, ok, _ = c
@@ -215,12 +217,11 @@ def _search_halvings(spec: WorldSpec, state: WorldState, dt_frame):
     def body(c):
         k, _, _ = c
         k2 = k + 1
-        ok, cache = trial(k2.astype(dt_frame.dtype))
+        ok, cache = _probe(spec, state, dt_frame * 0.5 ** k2.astype(dt_frame.dtype))
         return k2, ok, cache
 
-    k1 = jnp.ones((), dtype=jnp.int32)
-    ok1, cache1 = trial(jnp.ones((), dtype=dt_frame.dtype))
-    k, ok, cache = jax.lax.while_loop(cond, body, (k1, ok1, cache1))
+    k0 = jnp.zeros((), dtype=jnp.int32)
+    k, ok, cache = jax.lax.while_loop(cond, body, (k0, ok0, cache0))
     # the carried cache is pure stop-gradient data, but float outputs of a
     # while_loop trip JAX's structural reverse-mode check when consumed
     # downstream — sever explicitly
@@ -250,29 +251,19 @@ def step_dt(spec: WorldSpec, state: WorldState, dt_frame):
         dt_p = -state.last_dt + (jax.lax.stop_gradient(state.last_dt) + dt_k)
         return jnp.where(use_pair, dt_p, dt_k)
 
-    # Gradient-free probe decides whether the full dt is penetration-free;
-    # the DIFFERENTIABLE replay then runs only inside the selected branch,
-    # reusing the probe's (stop-gradient) contact-search cache. Running a
-    # speculative differentiable attempt outside the cond and discarding it
-    # would be wrong: its backward still executes, and at deeply penetrating
-    # states it produces inf/NaN Jacobians that poison the gradients even
-    # under zero cotangents — the reference likewise discards failed
-    # attempts from the autograd graph.
+    # Gradient-free probe + bisection decide the accepted dt; ONE
+    # differentiable replay then runs at that dt, reusing the accepted
+    # trial's (stop-gradient) contact-search cache. Running a speculative
+    # differentiable attempt at rejected dts and discarding it would be
+    # wrong: its backward still executes, and at deeply penetrating states
+    # it produces inf/NaN Jacobians that poison the gradients even under
+    # zero cotangents — the reference likewise discards failed attempts
+    # from the autograd graph.
     ok0, cache0 = _probe(spec, state, dt_frame)
-
-    def no_bisect(_):
-        new_v, q2, p2, contacts = _replay(spec, state, paired(dt_frame), cache0)
-        return new_v, q2, p2, contacts, dt_frame, paired(dt_frame)
-
-    def bisect(_):
-        k, _, cache = _search_halvings(spec, state, dt_frame)
-        dt_k = dt_frame * 0.5 ** k.astype(dtype)
-        new_v, q2, p2, contacts = _replay(spec, state, paired(dt_k), cache)
-        return new_v, q2, p2, contacts, dt_k, paired(dt_k)
-
-    new_v, q2, p2, contacts, dt_k, dt_ = jax.lax.cond(
-        ok0, no_bisect, bisect, operand=None
-    )
+    k, _, cache = _search_halvings(spec, state, dt_frame, ok0, cache0)
+    dt_k = dt_frame * 0.5 ** k.astype(dtype)
+    new_v, q2, p2, contacts = _replay(spec, state, paired(dt_k), cache)
+    dt_ = paired(dt_k)
 
     if cfg.time_of_contact_diff:
         # contacts new in this step: pair had no valid contact at step start

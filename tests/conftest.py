@@ -15,6 +15,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compiled-executable cache: rollout-grad graphs take minutes to
+# compile on CPU x64; repeat suite runs hit the disk cache instead
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 assert jax.default_backend() == "cpu"
 
