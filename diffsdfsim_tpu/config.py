@@ -78,6 +78,11 @@ class SimConfig:
     # contact buffers
     max_contacts_per_pair: int = 8
     max_contacts_total: int = 8  # global compacted buffer size
+    # greedy normal-clustering rounds in contact filtering (the reference
+    # clusters until every contact is assigned, physics3d/contacts.py:110-130;
+    # this is the fixed-shape unroll bound for distinct contact-normal
+    # directions per pair)
+    max_filter_clusters: int = 4
     fw_iters: int = 32  # reference contacts.py:63
     # mesh extraction
     mesh_subdiv: int = 3  # icosphere template subdivisions for projection mesh

@@ -39,7 +39,7 @@ from ..physics import (
     rollout,
 )
 from ..rendering.raymarch import PinholeCamera, get_pointcloud, render_depth_seg
-from ..utils.quaternion import quat_exp_map, quat_multiply, random_quaternions
+from ..utils.quaternion import random_quaternions
 from .common import Run, parse_cli
 
 DEFAULTS = dict(
@@ -187,33 +187,51 @@ def main(argv=None):
     seg_masks = [(seg == 1) for (_, _, seg) in obs]
 
     # ---- phase 1: first-frame fit ----
-    init_pos = target_pos + jax.random.normal(k4, (3,), dtype) * 0.04
-    init_rot = jnp.zeros(3, dtype)
+    # honest init (reference :381-397): the optimized rotation is a FREE
+    # quaternion initialized target + N(0, 0.1) on the 4-vector and
+    # renormalized (expected ~0.135 rad off target), NOT an offset around
+    # the ground truth; position likewise perturbed by N(0, 0.1)
+    init_pos = target_pos + jax.random.normal(k4, (3,), dtype) * 0.1
+    init_quat = target_quat + jax.random.normal(k5, (4,), dtype) * 0.1
+    init_quat = init_quat / jnp.linalg.norm(init_quat)
     init_size = jnp.asarray(0.5 * (c["min_dim"] + c["max_dim"]), dtype)
+
+    def _errors(pos, quat, size):
+        """pos err (L2), rot err (relative angle, rad), size err (abs)."""
+        dot = jnp.clip(jnp.abs(jnp.sum(quat * target_quat) / jnp.linalg.norm(quat)), 0.0, 1.0)
+        return (
+            float(jnp.linalg.norm(pos - target_pos)),
+            float(2.0 * jnp.arccos(dot)),
+            abs(float(size) - float(target_size)),
+        )
 
     t0, pc0, _ = obs[0]
 
     def frame_loss(params):
-        pos, rot_vec, size = params
-        quat = quat_multiply(quat_exp_map(rot_vec), target_quat)
+        pos, quat, size = params
+        quat = quat / jnp.linalg.norm(quat)
         return match_pointcloud(pc0, seg_masks[0], cam_pose, _make_shape(c, size), pos, quat)
 
-    params = (init_pos, init_rot, init_size)
+    def _renorm(params):
+        pos, quat, size = params
+        return (pos, quat / jnp.linalg.norm(quat), size)
+
+    params = (init_pos, init_quat, init_size)
     opt = optax.adam(c["lr_pose"])
     opt_state = opt.init(params)
     vg1 = jax.jit(jax.value_and_grad(frame_loss))
     for i in range(c["frame_fit_iters"]):
         val, g = vg1(params)
         upd, opt_state = opt.update(g, opt_state)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+        params = _renorm(jax.tree_util.tree_map(lambda p, u: p + u, params, upd))
         run.log_scalar("frame_fit_loss", float(val), i)
 
-    pos1, rot1, size1 = params
+    pos1, quat1, size1 = params
 
     # ---- phase 2: trajectory fit ----
     def traj_loss(params):
-        pos, rot_vec, size = params
-        quat = quat_multiply(quat_exp_map(rot_vec), target_quat)
+        pos, quat, size = params
+        quat = quat / jnp.linalg.norm(quat)
         spec, state = make_scene(c, cfg, size, pos, quat)
         _, traj = rollout(spec, state, n_frames=n_frames)
         loss = 0.0
@@ -226,26 +244,39 @@ def main(argv=None):
             )
         return loss / len(obs)
 
-    params = (pos1, rot1, size1)
+    params = (pos1, quat1, size1)
     opt2 = optax.adam(c["lr_size"])
     opt_state = opt2.init(params)
     vg2 = jax.jit(jax.value_and_grad(traj_loss))
     for i in range(c["traj_fit_iters"]):
         val, g = vg2(params)
         upd, opt_state = opt2.update(g, opt_state)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+        params = _renorm(jax.tree_util.tree_map(lambda p, u: p + u, params, upd))
         run.log_scalar("traj_fit_loss", float(val), i)
 
-    pos2, rot2, size2 = params
+    pos2, quat2, size2 = params
+    pe1, re1, se1 = _errors(pos1, quat1, size1)
+    pe2, re2, se2 = _errors(pos2, quat2, size2)
+    pe0, re0, se0 = _errors(init_pos, init_quat, init_size)
     out = dict(
         target_size=jax.device_get(target_size),
         target_pos=jax.device_get(target_pos),
-        frame_fit=dict(pos=jax.device_get(pos1), rot=jax.device_get(rot1), size=jax.device_get(size1)),
-        traj_fit=dict(pos=jax.device_get(pos2), rot=jax.device_get(rot2), size=jax.device_get(size2)),
+        target_quat=jax.device_get(target_quat),
+        init=dict(pos=jax.device_get(init_pos), quat=jax.device_get(init_quat),
+                  size=jax.device_get(init_size),
+                  pos_err=pe0, rot_err=re0, size_err=se0),
+        frame_fit=dict(pos=jax.device_get(pos1), quat=jax.device_get(quat1),
+                       size=jax.device_get(size1),
+                       pos_err=pe1, rot_err=re1, size_err=se1),
+        traj_fit=dict(pos=jax.device_get(pos2), quat=jax.device_get(quat2),
+                      size=jax.device_get(size2),
+                      pos_err=pe2, rot_err=re2, size_err=se2),
     )
     run.save_output(out)
     run.finish()
-    print("size err frame/traj:", abs(float(size1) - float(target_size)), abs(float(size2) - float(target_size)))
+    print(f"init   pos/rot/size err: {pe0:.4f} {re0:.4f} {se0:.4f}")
+    print(f"frame  pos/rot/size err: {pe1:.4f} {re1:.4f} {se1:.4f}")
+    print(f"traj   pos/rot/size err: {pe2:.4f} {re2:.4f} {se2:.4f}")
     return out
 
 

@@ -49,6 +49,8 @@ DEFAULTS = dict(
     mesh_subdiv=2,
     model_path="",
     latent_path="",
+    trained_space=False,
+    space_cache="outputs/igr_tiny_space.pkl",
     n_par=1,
     base_dir="outputs",
 )
@@ -71,6 +73,17 @@ def build_cfg(c) -> SimConfig:
 def load_decoder(c):
     if c["model_path"]:
         params, codes = load_torch_checkpoint(c["model_path"], c["latent_path"])
+        return make_decoder(params), codes
+    if c.get("trained_space"):
+        # in-repo-trained tiny shape space (sphere + box codes): genuinely
+        # distinct decoded shapes for full-scale validation
+        # (models/igr_train.py; replaces the reference's external
+        # bob_and_spot checkpoint)
+        from ..models.igr_train import load_or_train
+
+        params, codes = load_or_train(
+            str(c.get("space_cache", "outputs/igr_tiny_space.pkl"))
+        )
         return make_decoder(params), codes
     params = init_implicit_net(
         jax.random.PRNGKey(1234), d_in=3 + c["latent_size"], radius_init=0.55

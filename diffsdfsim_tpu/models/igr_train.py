@@ -1,0 +1,156 @@
+"""In-repo training of a tiny IGR shape space on analytic shapes.
+
+The reference experiments load externally-trained IGR checkpoints
+(`shapespaces/IGR/models/bob_and_spot`, reference
+`experiments/trajectory_fitting/optim_shapespace.py:241-248`); those
+checkpoints are not in this image. To validate the shape-space experiments
+with a latent space whose codes decode to GENUINELY DISTINCT shapes (not the
+geometric-init near-sphere), this module trains the same `ImplicitNet`
+architecture (models/igr.py) as an auto-decoder on analytic SDFs:
+
+  - supervised SDF regression on points sampled in [-1,1]^3
+  - eikonal regularizer ||grad sdf|| = 1 (the IGR loss term)
+  - L2 latent regularization (IGR latent_lambda)
+
+Two shapes by default — a sphere and a box — giving a 2-point latent space
+analogous to bob-and-spot; interpolating the codes sweeps between shapes.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import default_dtype
+from ..ops import sdf as sdf_ops
+from .igr import ImplicitNetParams, implicit_net_apply, init_implicit_net
+
+
+def default_shape_fns() -> Sequence[Callable]:
+    """Analytic SDFs in normalized [-1,1]^3 coordinates."""
+    return (
+        lambda p: sdf_ops.sphere_sdf(p, jnp.asarray(0.55, dtype=p.dtype)),
+        lambda p: sdf_ops.box_sdf(p, jnp.asarray([0.45, 0.45, 0.45], dtype=p.dtype)),
+    )
+
+
+def train_tiny_shapespace(
+    key,
+    shape_fns: Sequence[Callable] | None = None,
+    latent_size: int = 2,
+    dims: Sequence[int] = (64, 64, 64, 64),
+    n_steps: int = 1500,
+    n_pts: int = 512,
+    lr: float = 2e-3,
+    eikonal_w: float = 0.05,
+    latent_reg: float = 1e-4,
+):
+    """Returns (params, codes (K, latent_size), final_loss)."""
+    dtype = default_dtype()
+    if shape_fns is None:
+        shape_fns = default_shape_fns()
+    k_shapes = len(shape_fns)
+
+    kp, kc, kt = jax.random.split(key, 3)
+    skip = (2,) if len(dims) >= 4 else ()
+    params = init_implicit_net(
+        kp, d_in=3 + latent_size, dims=tuple(dims), skip_in=skip, radius_init=0.5
+    )
+    codes = 0.3 * jax.random.normal(kc, (k_shapes, latent_size), dtype=dtype)
+
+    skip_in, d_in = params.skip_in, params.d_in
+
+    def net_sdf(wb, z, pts):
+        p = ImplicitNetParams(weights=wb[0], biases=wb[1], skip_in=skip_in, d_in=d_in)
+        lat = jnp.broadcast_to(z, (pts.shape[0], z.shape[-1]))
+        return implicit_net_apply(p, jnp.concatenate([lat, pts], axis=-1))
+
+    def loss_fn(train_state, pts_surfbias, pts_uniform):
+        wb0, wb1, codes = train_state
+        params = (wb0, wb1)
+        total = 0.0
+        for i, fn in enumerate(shape_fns):
+            pts = jnp.concatenate([pts_surfbias[i], pts_uniform], axis=0)
+            target = fn(pts)
+            pred = net_sdf(params, codes[i], pts)
+            total = total + jnp.mean((pred - target) ** 2)
+            # eikonal on uniform samples
+            g = jax.vmap(jax.grad(lambda p: net_sdf(params, codes[i], p[None])[0]))(
+                pts_uniform
+            )
+            total = total + eikonal_w * jnp.mean(
+                (jnp.linalg.norm(g, axis=-1) - 1.0) ** 2
+            )
+        total = total + latent_reg * jnp.sum(codes**2)
+        return total
+
+    opt = optax.adam(lr)
+    train_state = (params.weights, params.biases, codes)
+    opt_state = opt.init(train_state)
+
+    def sample_pts(k):
+        ku, ks, kn = jax.random.split(k, 3)
+        uniform = jax.random.uniform(ku, (n_pts, 3), minval=-1.0, maxval=1.0, dtype=dtype)
+        # surface-biased samples per shape: uniform points Newton-projected
+        # one step toward the zero set + Gaussian jitter
+        surfb = []
+        for fn in shape_fns:
+            p = jax.random.uniform(ks, (n_pts, 3), minval=-1.0, maxval=1.0, dtype=dtype)
+            d = fn(p)
+            g = jax.vmap(jax.grad(lambda q: fn(q[None])[0]))(p)
+            g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-6)
+            p_s = p - d[:, None] * g + 0.05 * jax.random.normal(kn, (n_pts, 3), dtype=dtype)
+            surfb.append(jnp.clip(p_s, -1.0, 1.0))
+        return jnp.stack(surfb), uniform
+
+    @jax.jit
+    def step(carry, k):
+        train_state, opt_state = carry
+        surfb, uniform = sample_pts(k)
+        val, g = jax.value_and_grad(loss_fn)(train_state, surfb, uniform)
+        upd, opt_state = opt.update(g, opt_state)
+        train_state = jax.tree_util.tree_map(lambda p, u: p + u, train_state, upd)
+        return (train_state, opt_state), val
+
+    keys = jax.random.split(kt, n_steps)
+    (train_state, _), losses = jax.lax.scan(step, (train_state, opt_state), keys)
+    w, b, codes = train_state
+    params = ImplicitNetParams(weights=w, biases=b, skip_in=skip_in, d_in=d_in)
+    return params, codes, losses[-1]
+
+
+def load_or_train(cache_path: str, key=None, **kw):
+    """Train once and cache to disk (the trained space is deterministic in
+    the key, but training takes ~a minute)."""
+    p = Path(cache_path)
+    if p.exists():
+        with open(p, "rb") as f:
+            data = pickle.load(f)
+        params = ImplicitNetParams(
+            weights=tuple(jnp.asarray(w) for w in data["weights"]),
+            biases=tuple(jnp.asarray(b) for b in data["biases"]),
+            skip_in=tuple(data["skip_in"]),
+            d_in=int(data["d_in"]),
+        )
+        return params, jnp.asarray(data["codes"])
+    if key is None:
+        key = jax.random.PRNGKey(7)
+    params, codes, _ = train_tiny_shapespace(key, **kw)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with open(p, "wb") as f:
+        pickle.dump(
+            dict(
+                weights=[jax.device_get(w) for w in params.weights],
+                biases=[jax.device_get(b) for b in params.biases],
+                skip_in=list(params.skip_in),
+                d_in=params.d_in,
+                codes=jax.device_get(codes),
+            ),
+            f,
+        )
+    return params, codes

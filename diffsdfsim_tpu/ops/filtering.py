@@ -30,10 +30,16 @@ def filter_contacts(
     p1: jnp.ndarray,
     valid: jnp.ndarray,
     k_out: int,
-    n_clusters: int = 2,
+    n_clusters: int = 4,
     angle_thresh: float = 1e-2,
 ):
     """Select up to k_out representative contact indices.
+
+    `n_clusters` bounds the greedy clustering rounds; the reference clusters
+    until EVERY contact is assigned (contacts.py:110-130) — with a fixed
+    shape we unroll up to `n_clusters` rounds (cfg.max_filter_clusters),
+    which covers manifolds touching at up to that many distinct normal
+    directions (e.g. a nonconvex shape resting in a corner).
 
     Returns (sel_idx (k_out,) int32, sel_valid (k_out,) bool)."""
     nf = normals.shape[0]

@@ -56,6 +56,9 @@ def make_body(
     project_iters: int = 12,
     verts: Optional[jnp.ndarray] = None,
     faces: Optional[np.ndarray] = None,
+    mesher: str = "template",
+    grid_res: int = 16,
+    max_tris: Optional[int] = None,
 ) -> BodyDef:
     """Build a BodyDef from a shape (differentiable w.r.t. shape params/mass).
 
@@ -64,7 +67,16 @@ def make_body(
     shape type. `custom_mesh=True` uses the analytic mesh for the shape
     (reference custom_mesh option; required for BowlShape, whose shell the
     star-shaped projection cannot represent). Pass explicit `verts`/`faces`
-    for a Mesh3D-style explicit mesh body (reference bodies.py:596-624)."""
+    for a Mesh3D-style explicit mesh body (reference bodies.py:596-624).
+
+    `mesher='marching'` extracts the surface with marching tetrahedra
+    (ops/marching.py) instead of star-shaped template projection — required
+    for non-genus-0 shapes (torus-like grids, nonconvex latents) whose
+    surface the projection provably cannot represent (reference uses CUDA
+    marching cubes here, bodies.py:652-704). The SDF is sampled on a
+    `grid_res`^3 normalized lattice (GridShape uses its own grid directly)
+    and the extracted triangle-soup vertices get the MeshSDF differentiable
+    correction, so d(verts)/d(shape params) matches the reference backward."""
     dtype = default_dtype()
     mass = jnp.asarray(mass, dtype=dtype)
 
@@ -97,7 +109,37 @@ def make_body(
                 is_sdf=True,
             )
 
-    if verts is None:
+    if verts is None and mesher == "marching":
+        import jax
+
+        from ..ops.marching import grid_to_mesh
+
+        sg = jax.lax.stop_gradient
+        if kind == "GridShape":
+            grid = shape.grid
+            res = grid.shape[0]
+        else:
+            lin = jnp.linspace(-1.0, 1.0, grid_res, dtype=dtype)
+            gx, gy, gz = jnp.meshgrid(lin, lin, lin, indexing="ij")
+            pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+            grid = shape.sdf(pts).reshape(grid_res, grid_res, grid_res)
+            res = grid_res
+        if max_tris is None:
+            # a closed surface in an N^3 grid cuts O(N^2) cells; 6 tets x
+            # up-to-2 tris per cut cell, with slack for oblique surfaces
+            max_tris = 8 * res * res
+        # gradient-free extraction + MeshSDF differentiable correction:
+        # v_out = sg(v) - sdf(sg(v); params) * sg(n)  (ops/surface.py docs)
+        verts_soup, faces, valid = grid_to_mesh(
+            sg(grid), scale=sg(shape.scale()), max_tris=max_tris
+        )
+        v_sg = sg(verts_soup)
+        d, n = query_sdfs(shape, v_sg)
+        corrected = v_sg - d[:, None] * sg(n)
+        vmask = jnp.repeat(valid, 3)[:, None]
+        verts = jnp.where(vmask, corrected, 0.0)
+        is_sdf = True
+    elif verts is None:
         if template == "auto":
             template = "ico" if type(shape).__name__ == "SphereShape" else "cube"
         if template == "ico":

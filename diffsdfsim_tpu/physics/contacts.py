@@ -62,12 +62,20 @@ class DirectedPair(NamedTuple):
 
 
 def _overlap(bd1: BodyDef, q1, pos1, bd2: BodyDef, q2, pos2):
-    """OBB-ish vertex-in-scale test, both ways (contacts.py:27-36)."""
+    """Broadphase gate (reference _overlap, contacts.py:27-36), upgraded
+    from the reference's vertex-in-scale-box test to a true AABB
+    intersection: the reference requires some VERTEX of one mesh to fall
+    inside the other's scale box, which silently misses contacts when one
+    mesh is coarse relative to the other body (a small sphere penetrating a
+    large floor between the floor mesh's vertices — masked in the reference
+    by its dense marching-cubes surfaces). Intersecting each mesh's AABB (in
+    the other body's frame) with the scale box is a conservative superset:
+    it never skips a genuinely touching pair."""
     v1_b2 = quat_apply(quat_invert(q2), quat_apply(q1, bd1.verts) + pos1 - pos2)
     v2_b1 = quat_apply(quat_invert(q1), quat_apply(q2, bd2.verts) + pos2 - pos1)
     s1, s2 = bd1.scale(), bd2.scale()
-    ov1 = jnp.any(jnp.all((v1_b2 >= -s2) & (v1_b2 <= s2), axis=-1))
-    ov2 = jnp.any(jnp.all((v2_b1 >= -s1) & (v2_b1 <= s1), axis=-1))
+    ov1 = jnp.all((jnp.max(v1_b2, axis=0) >= -s2) & (jnp.min(v1_b2, axis=0) <= s2))
+    ov2 = jnp.all((jnp.max(v2_b1, axis=0) >= -s1) & (jnp.min(v2_b1, axis=0) <= s1))
     return ov1 & ov2
 
 
@@ -191,7 +199,10 @@ def _finish_pair(bd1: BodyDef, bd2: BodyDef, sg_frames, fw, cfg: SimConfig) -> P
             cfg.eps, cfg.detach_contact_b2, with_stability=False,
         )
         max_pen = jnp.max(jnp.where(fwf.contact_mask, pen_ng, -jnp.inf))
-        sel_idx, sel_valid = filter_contacts(n_ng, p1_ng, fwf.contact_mask, k_out=k)
+        sel_idx, sel_valid = filter_contacts(
+            n_ng, p1_ng, fwf.contact_mask, k_out=k,
+            n_clusters=cfg.max_filter_clusters,
+        )
         return PairCache(
             abc_sel=sg(fwf.abc)[sel_idx], sel_idx=sel_idx,
             sel_valid=sel_valid, max_pen=max_pen,

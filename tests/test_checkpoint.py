@@ -19,12 +19,12 @@ def test_worldstate_roundtrip(tmp_path):
                              joints=(TotalConstraint3D(body1=0),),
                              forces=((), (Gravity3D(10.0),)), cfg=cfg)
     # advance, checkpoint, advance, restore, re-advance: bit-exact resume
-    state1, _, _ = step_frame(spec, state)
+    state1, _, _, _ = step_frame(spec, state)
     path = tmp_path / "ck.pkl"
     save_state(path, state1)
-    state2, _, _ = step_frame(spec, state1)
+    state2, _, _, _ = step_frame(spec, state1)
 
     restored = load_state(path, like=state1)
-    state2b, _, _ = step_frame(spec, restored)
+    state2b, _, _, _ = step_frame(spec, restored)
     np.testing.assert_array_equal(np.asarray(state2.pos), np.asarray(state2b.pos))
     np.testing.assert_array_equal(np.asarray(state2.v), np.asarray(state2b.v))

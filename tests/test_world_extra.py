@@ -126,5 +126,5 @@ def test_gripper_joint_dynamics():
 def test_post_stabilization_runs():
     cfg = CFG.replace(post_stab=True, time_of_contact_diff=False)
     spec, state = drop_world(cfg=cfg)
-    state2, had, _ = step_frame(spec, state)
+    state2, had, _, _ = step_frame(spec, state)
     assert np.all(np.isfinite(np.asarray(state2.pos)))
