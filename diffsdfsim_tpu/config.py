@@ -72,6 +72,11 @@ class SimConfig:
     # solver
     solver_max_iter: int = 10  # reference engines.py:25
     solver_eps: float = 1e-12
+    # PDIPM probe backend: "auto" (Pallas kernel on TPU, XLA elsewhere),
+    # "pallas", or "xla". The Pallas kernel (ops/qp_pallas.py) fuses the
+    # whole interior-point loop into one launch with the batch riding the
+    # vector lanes; XLA's small batched linalg serializes over the batch.
+    solver_backend: str = "auto"
     # stepping (fixed-shape bounds for data-dependent control flow)
     max_bisect: int = 10  # reference dt floor dt/2**10, world.py:345
     max_substeps: int = 8  # substeps per fixed-dt frame (scan bound)

@@ -1,0 +1,351 @@
+"""Fused Pallas TPU kernel for the batched PDIPM forward solve.
+
+Why this kernel exists: the physics KKT systems are TINY (nz ~ 12, m =
+neq+nineq ~ 46). XLA's per-op dispatch costs more than the math — a single
+10-iteration Mehrotra solve is ~270 us of latency-bound small ops, and
+XLA's batched small-matrix linalg SERIALIZES over the batch (measured:
+16-batch LU = 16x single), so batching buys nothing. This kernel runs the
+ENTIRE interior-point loop in one launch with all state in VMEM:
+
+- the batch rides the sublane dimension (block of 8 problems per grid
+  step), every vector op processes all 8 problems at once;
+- the Schur complement S (m x m) is inverted by fully-unrolled pivot-free
+  Gauss-Jordan on the augmented [S | I] block — m static steps of 3 VPU
+  ops, no LAPACK, no dispatch;
+- Q^-1 and base = [A;G] Q^-1 [A;G]^T are computed ONCE outside (they are
+  iteration- and dt-independent; for the probe-ladder use they are also
+  identical across the batch).
+
+Semantics match ops/qp._pdipm_forward (reference lcp solver,
+`lcp_physics/lcp/solvers/batch.py:70-231`): same initialization (one KKT
+solve at d=1, slack shift), Mehrotra predictor-corrector, best-iterate
+tracking, NaN freeze. Differences: fixed max_iter (no early exit — the
+while_loop exit rarely fired before max_iter anyway), and the
+not-improved / eps freezes act per problem rather than globally over the
+batch (at least as accurate).
+
+This is the gradient-free PROBE path (pdipm_solve_raw). Gradients never
+flow through the iterations — the differentiable replay re-emits the
+solution via ops.qp.lcp_solve_from_solution (KKT implicit diff in XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _mv(M, v):
+    """(BB,n,m) @ (BB,m) -> (BB,n)."""
+    return jnp.sum(M * v[:, None, :], axis=-1)
+
+
+def _mtv(M, v):
+    """(BB,n,m)^T @ (BB,n) -> (BB,m)."""
+    return jnp.sum(M * v[:, :, None], axis=1)
+
+
+def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim):
+    """Build the kernel function with static sizes closed over."""
+    m = neq + nineq
+
+    def kernel(
+        q_ref, invq_ref, base_ref, g_ref, a_ref, f_ref, p_ref, h_ref, b_ref,
+        x_out, s_out, z_out, y_out,
+    ):
+        dtype = p_ref.dtype
+        Q = q_ref[:]
+        invQ = invq_ref[:]
+        base = base_ref[:]
+        G = g_ref[:]
+        A = a_ref[:]
+        F = f_ref[:]
+        p = p_ref[:]
+        h = h_ref[:]
+        b = b_ref[:]
+        bb = p.shape[0]
+
+        # constants generated in-kernel (Pallas forbids captured arrays)
+        rid = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+        eye_m = (rid == cid).astype(dtype)
+        colid = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+        # diag regularizer 1.0 on PADDED equality rows (A=0 there would
+        # make S singular; the reg pins the padded y to exactly 0)
+        pad_reg = ((colid >= neq_real) & (colid < neq)).astype(dtype)
+
+        def build_S(dinv):
+            # F arrives pre-padded to the (m, m) frame (Mosaic has no
+            # strided scatter); base + F_full + diag([pad_reg, dinv])
+            dfull = jnp.concatenate(
+                [jnp.zeros((bb, neq), dtype=dtype), dinv], axis=-1
+            ) + pad_reg
+            return base + F + eye_m[None] * dfull[:, None, :]
+
+        rid_aug = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * m), 0)
+
+        def inv_gj(S):
+            aug = jnp.concatenate(
+                [S, jnp.broadcast_to(eye_m[None], S.shape)], axis=-1
+            )
+            for kk in range(m):
+                piv = aug[:, kk, :] / aug[:, kk, kk][:, None]
+                # eliminate column kk everywhere, then place the pivot row
+                # (row-select instead of .at[].set: Mosaic has no scatter)
+                elim = aug - aug[:, :, kk][:, :, None] * piv[:, None, :]
+                aug = jnp.where((rid_aug == kk)[None], piv[:, None, :], elim)
+            return aug[:, :, m:]
+
+        def solve_kkt(invS, d, rx, rs, rz, ry):
+            invQ_rx = _mv(invQ, rx)
+            h_ineq = _mv(G, invQ_rx) + rs / d - rz
+            h_eq = _mv(A, invQ_rx) - ry
+            hvec = jnp.concatenate([h_eq, h_ineq], axis=-1)
+            w = -_mv(invS, hvec)
+            w_eq, w_ineq = w[:, :neq], w[:, neq:]
+            g1 = -rx - _mtv(G, w_ineq) - _mtv(A, w_eq)
+            g2 = -rs - w_ineq
+            return _mv(invQ, g1), g2 / d, w_ineq, w_eq
+
+        def get_step(v, dv):
+            a = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+            return jnp.min(a, axis=-1, keepdims=True)
+
+        def norm(r):
+            return jnp.sqrt(jnp.sum(r * r, axis=-1, keepdims=True))
+
+        d0 = jnp.ones((bb, nineq), dtype=dtype)
+        x, s, z, y = solve_kkt(
+            inv_gj(build_S(d0)), d0, p, jnp.zeros((bb, nineq), dtype=dtype), -h, -b
+        )
+
+        def shift(v):
+            mn = jnp.min(v, axis=-1, keepdims=True)
+            return jnp.where(mn < 0, v - mn + 1.0, v)
+
+        s = shift(s)
+        z = shift(z)
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype=dtype)
+
+        def Fz(z):
+            zf = jnp.concatenate([jnp.zeros((bb, neq), dtype=dtype), z], axis=-1)
+            return _mv(F, zf)[:, neq:]
+
+        def residuals(x, s, z, y):
+            rx = _mtv(G, z) + _mv(Q, x) + p + _mtv(A, y)
+            rs = z
+            rz = _mv(G, x) + s - h - Fz(z)
+            ry = _mv(A, x) - b
+            mu = jnp.abs(jnp.sum(s * z, axis=-1, keepdims=True)) / nineq
+            res = norm(rz) + norm(ry) + norm(rx) + nineq * mu
+            return rx, rs, rz, ry, mu, res
+
+        def body(it, carry):
+            x, s, z, y, bx, bs, bz, by, bres, nni, done = carry
+            rx, rs, rz, ry, mu, res = residuals(x, s, z, y)
+
+            improved = res < bres  # (BB,1)
+            bx = jnp.where(improved, x, bx)
+            bs = jnp.where(improved, s, bs)
+            bz = jnp.where(improved, z, bz)
+            by = jnp.where(improved, y, by)
+            bres = jnp.where(improved, res, bres)
+            nni = jnp.where(improved, 0, nni + 1)
+
+            done = (
+                done
+                | (nni >= not_improved_lim)
+                | (bres < eps)
+                | (mu > 1e32)
+            )
+
+            d = z / s
+            invS = inv_gj(build_S(1.0 / d))
+            dx_a, ds_a, dz_a, dy_a = solve_kkt(invS, d, rx, rs, rz, ry)
+
+            alpha = jnp.minimum(
+                jnp.minimum(get_step(z, dz_a), get_step(s, ds_a)), 1.0
+            )
+            t1 = s + alpha * ds_a
+            t2 = z + alpha * dz_a
+            sig = (
+                jnp.sum(t1 * t2, axis=-1, keepdims=True)
+                / jnp.sum(s * z, axis=-1, keepdims=True)
+            ) ** 3
+
+            rs_cor = (-(mu * sig) + ds_a * dz_a) / s
+            dx_c, ds_c, dz_c, dy_c = solve_kkt(
+                invS, d,
+                jnp.zeros((bb, nz), dtype=dtype), rs_cor,
+                jnp.zeros((bb, nineq), dtype=dtype),
+                jnp.zeros((bb, neq), dtype=dtype),
+            )
+
+            dx = dx_a + dx_c
+            ds = ds_a + ds_c
+            dz = dz_a + dz_c
+            dy = dy_a + dy_c
+            alpha = jnp.minimum(
+                0.999 * jnp.minimum(get_step(z, dz), get_step(s, ds)), 1.0
+            )
+
+            x_n = x + alpha * dx
+            s_n = s + alpha * ds
+            z_n = z + alpha * dz
+            y_n = y + alpha * dy
+
+            finite = (
+                jnp.all(jnp.isfinite(x_n), axis=-1, keepdims=True)
+                & jnp.all(jnp.isfinite(s_n), axis=-1, keepdims=True)
+                & jnp.all(jnp.isfinite(z_n), axis=-1, keepdims=True)
+            )
+            done = done | ~finite
+            keep = done
+            x_n = jnp.where(keep, x, x_n)
+            s_n = jnp.where(keep, s, s_n)
+            z_n = jnp.where(keep, z, z_n)
+            y_n = jnp.where(keep, y, y_n)
+            return (x_n, s_n, z_n, y_n, bx, bs, bz, by, bres, nni, done)
+
+        zero_i = jnp.zeros((bb, 1), dtype=jnp.int32)
+        carry = (
+            x, s, z, y, x, s, z, y,
+            jnp.full((bb, 1), big, dtype=dtype),
+            zero_i,
+            jnp.zeros((bb, 1), dtype=bool),
+        )
+        # fully unrolled (max_iter is static): Mosaic fails to legalize
+        # scf.for with this mixed-layout carry, and unrolling also lets the
+        # scheduler overlap iterations' independent vector work
+        for it in range(max_iter):
+            carry = body(it, carry)
+        x, s, z, y, bx, bs, bz, by, bres, nni, done = carry
+
+        # final best-iterate check on the last iterate
+        _, _, _, _, _, res = residuals(x, s, z, y)
+        improved = (res < bres) & ~done
+        x_out[:] = jnp.where(improved, x, bx)
+        s_out[:] = jnp.where(improved, s, bs)
+        z_out[:] = jnp.where(improved, z, bz)
+        y_out[:] = jnp.where(improved, y, by)
+
+    return kernel
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _pdipm_pallas_impl(
+    Q, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b, interpret
+):
+    B, nineq, nz = G.shape
+    neq_real = A.shape[-2]
+    dtype = Q.dtype
+
+    # pad equality block to >= 1 row (zero rows + diag reg pin y_pad = 0)
+    neq = max(neq_real, 1)
+    if neq_real == 0:
+        A = jnp.zeros((B, 1, nz), dtype=dtype)
+        b = jnp.zeros((B, 1), dtype=dtype)
+
+    # one-time products (iteration-independent)
+    Q_chol = jnp.linalg.cholesky(Q)
+    invQ = jax.scipy.linalg.cho_solve(
+        (Q_chol, True), jnp.broadcast_to(jnp.eye(nz, dtype=dtype), Q.shape)
+    )
+    AG = jnp.concatenate([A, G], axis=-2)
+    base = AG @ invQ @ jnp.swapaxes(AG, -1, -2)
+    # F padded into the full (m, m) Schur frame (in-kernel strided scatter
+    # is not lowerable on Mosaic)
+    m_ = neq + nineq
+    F = (
+        jnp.zeros((B, m_, m_), dtype=dtype)
+        .at[:, neq:, neq:]
+        .set(F)
+    )
+
+    # pad batch to a multiple of block_b by edge replication (independent
+    # lanes; padded results are dropped)
+    Bp = _round_up(max(B, block_b), block_b)
+    def padb(x):
+        if Bp == B:
+            return x
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (Bp - B,) + x.shape[1:])], axis=0
+        )
+    Qp_, invQp, basep, Gp, Ap, Fp, pp, hp, bp = map(
+        padb, (Q, invQ, base, G, A, F, p, h, b)
+    )
+
+    kernel = _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim)
+
+    grid = (Bp // block_b,)
+    mat = lambda r, c: pl.BlockSpec(
+        (block_b, r, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    vec = lambda n: pl.BlockSpec(
+        (block_b, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    m = neq + nineq
+    x, s, z, y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            mat(nz, nz), mat(nz, nz), mat(m, m), mat(nineq, nz),
+            mat(neq, nz), mat(m, m), vec(nz), vec(nineq), vec(neq),
+        ],
+        out_specs=[vec(nz), vec(nineq), vec(nineq), vec(neq)],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, nz), dtype),
+            jax.ShapeDtypeStruct((Bp, nineq), dtype),
+            jax.ShapeDtypeStruct((Bp, nineq), dtype),
+            jax.ShapeDtypeStruct((Bp, neq), dtype),
+        ],
+        interpret=interpret,
+    )(Qp_, invQp, basep, Gp, Ap, Fp, pp, hp, bp)
+
+    x, s, z, y = x[:B], s[:B], z[:B], y[:B]
+    if neq_real == 0:
+        y = y[:, :0]
+    return x, y, z, s
+
+
+@_pdipm_pallas_impl.defjvp
+def _pdipm_pallas_jvp(
+    max_iter, eps, not_improved_lim, block_b, interpret, primals, tangents
+):
+    """Zero tangents: this is the gradient-free PROBE solver; gradients are
+    attached later through ops.qp.lcp_solve_from_solution (KKT implicit
+    diff). Declaring the derivative (rather than relying on callers'
+    stop_gradient) keeps the pallas_call off every autodiff path."""
+    out = _pdipm_pallas_impl(
+        *primals, max_iter, eps, not_improved_lim, block_b, interpret
+    )
+    return out, jax.tree_util.tree_map(jnp.zeros_like, out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "eps", "not_improved_lim", "block_b", "interpret"),
+)
+def pdipm_pallas(
+    Q, p, G, h, A, b, F,
+    max_iter=10, eps=1e-6, not_improved_lim=3,
+    block_b=8, interpret=False,
+):
+    """Batched PDIPM forward (x, y, z, s) — Pallas TPU kernel.
+
+    Mirrors ops.qp.pdipm_solve_raw (gradient-free; see _pdipm_pallas_jvp).
+    All inputs batched (B, ...); neq may be 0. The batch is processed in
+    blocks of `block_b` problems, each block fully vectorized across
+    sublanes."""
+    return _pdipm_pallas_impl(
+        Q, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b, interpret
+    )

@@ -334,9 +334,20 @@ def probe_dynamics_batch(bodies, joints, forces, state, contacts: Contacts, dts,
             bc(F),
         )
         eps = cfg.solver_eps if dtype == jnp.float64 else max(cfg.solver_eps, 1e-6)
-        x, y, z, s = pdipm_solve_raw(
-            *args, cfg.solver_max_iter, eps, 3, ("fric", k, fd)
-        )
+        backend = cfg.solver_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if backend == "pallas":
+            from ..ops.qp_pallas import pdipm_pallas
+
+            x, y, z, s = pdipm_pallas(
+                *args, max_iter=cfg.solver_max_iter, eps=eps,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            x, y, z, s = pdipm_solve_raw(
+                *args, cfg.solver_max_iter, eps, 3, ("fric", k, fd)
+            )
         return -x[:, :n], (x, y, z, s)
 
     any_contact = jnp.any(contacts.valid)

@@ -1,0 +1,87 @@
+"""Pallas PDIPM kernel vs the XLA reference implementation.
+
+The kernel (ops/qp_pallas.py) must reproduce ops.qp._pdipm_forward on the
+physics friction-LCP problem family — same Mehrotra iterates up to the
+order-of-operations, so solutions agree to solver tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffsdfsim_tpu.ops.qp import pdipm_solve_raw
+from diffsdfsim_tpu.ops.qp_pallas import pdipm_pallas
+
+from test_qp_structure import _fric_problem
+
+
+def _stack_problems(keys, neq=6, k=3, fd=4):
+    probs = [_fric_problem(kk, neq=neq, k=k, fd=fd)[:7] for kk in keys]
+    return [jnp.concatenate([p[i] for p in probs], axis=0) for i in range(7)]
+
+
+@pytest.mark.parametrize("neq,k,fd,nb", [(6, 3, 4, 5), (0, 2, 8, 3), (4, 1, 2, 8)])
+def test_pallas_matches_xla_fric(neq, k, fd, nb):
+    keys = jax.random.split(jax.random.PRNGKey(neq * 101 + k * 13 + fd), nb)
+    Q, p, G, h, A, b, F = _stack_problems(keys, neq=neq, k=k, fd=fd)
+
+    x_ref, y_ref, z_ref, s_ref = pdipm_solve_raw(
+        Q, p, G, h, A, b, F, 10, 1e-9, 3, None
+    )
+    x_pl, y_pl, z_pl, s_pl = pdipm_pallas(
+        Q, p, G, h, A, b, F, max_iter=10, eps=1e-9, interpret=True
+    )
+    # both are interior-point approximations of the same solution; compare
+    # primal iterates to solver tolerance
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_ref), rtol=2e-4, atol=2e-5)
+    if neq > 0:
+        np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), rtol=2e-3, atol=2e-4)
+    assert y_pl.shape == (nb, neq)
+
+
+def test_pallas_padded_batch_lanes_independent():
+    """Results must not depend on batch padding (B=3 pads to 8)."""
+    keys = jax.random.split(jax.random.PRNGKey(42), 3)
+    Q, p, G, h, A, b, F = _stack_problems(keys)
+    x3, *_ = pdipm_pallas(Q, p, G, h, A, b, F, interpret=True)
+
+    keys8 = jax.random.split(jax.random.PRNGKey(42), 3)
+    Q8, p8, G8, h8, A8, b8, F8 = _stack_problems(list(keys8) + list(keys8)[:1] * 5)
+    x8, *_ = pdipm_pallas(Q8, p8, G8, h8, A8, b8, F8, interpret=True)
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(x8[:3]), rtol=1e-6, atol=1e-8)
+
+
+def test_pallas_physics_problem():
+    """The actual physics assembly (resting sphere-on-floor LCP) solved by
+    kernel vs XLA path, checking the resulting velocity impulse."""
+    from diffsdfsim_tpu.config import SimConfig
+    from diffsdfsim_tpu.physics import (
+        BoxShape, Gravity3D, SphereShape, TotalConstraint3D, make_body, make_world,
+    )
+    from diffsdfsim_tpu.physics.engine import probe_dynamics_batch
+
+    cfg = SimConfig(fric_dirs=8, max_contacts_per_pair=4, max_contacts_total=4,
+                    mesh_subdiv=2, tol=1e-6, strict_no_penetration=False)
+    floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0])), subdiv=3, fric_coeff=0.25)
+    sphere = make_body(SphereShape(0.5), subdiv=2, fric_coeff=0.25)
+    poses = jnp.array([[1.0, 0, 0, 0, 0.0, -0.5, 0.0],
+                       [1.0, 0, 0, 0, 0.0, 0.4999999, 0.0]])
+    spec, state = make_world(
+        [floor, sphere], poses, jnp.zeros((2, 6)),
+        joints=(TotalConstraint3D(body1=0),),
+        forces=((), (Gravity3D(10.0),)), cfg=cfg,
+    )
+    assert bool(jnp.any(state.contacts.valid))
+    dts = cfg.dt * 0.5 ** jnp.arange(4.0)
+
+    new_v_x, _ = probe_dynamics_batch(
+        spec.bodies, spec.joints, spec.forces, state, state.contacts, dts,
+        cfg.replace(solver_backend="xla"),
+    )
+    new_v_p, _ = probe_dynamics_batch(
+        spec.bodies, spec.joints, spec.forces, state, state.contacts, dts,
+        cfg.replace(solver_backend="pallas"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_v_p), np.asarray(new_v_x), rtol=1e-4, atol=1e-6
+    )
