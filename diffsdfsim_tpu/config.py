@@ -77,9 +77,17 @@ class SimConfig:
     # whole interior-point loop into one launch with the batch riding the
     # vector lanes; XLA's small batched linalg serializes over the batch.
     solver_backend: str = "auto"
+    # backward (KKT implicit diff) backend: "auto" follows solver_backend,
+    # "xla" forces the structured Cholesky+Woodbury path, "pallas" the fused
+    # kernel (wins under vmap batching; at B=1 the padded kernel can lose)
+    solver_bwd: str = "auto"
     # stepping (fixed-shape bounds for data-dependent control flow)
     max_bisect: int = 10  # reference dt floor dt/2**10, world.py:345
     max_substeps: int = 8  # substeps per fixed-dt frame (scan bound)
+    # rematerialize each frame in the rollout backward (jax.checkpoint):
+    # trades recomputing the frame forward for not saving its residuals —
+    # wins when the backward is HBM-bound on saved small tensors
+    remat_frames: bool = False
     # contact buffers
     max_contacts_per_pair: int = 8
     max_contacts_total: int = 8  # global compacted buffer size

@@ -458,10 +458,24 @@ def _lcp_bwd(max_iter, eps, not_improved_lim, structure, res, dl_dzhat):
     cap = 1e5 if dtype == jnp.float32 else 1e12
     d = jnp.clip(jnp.clip(lam, min=1e-8) / jnp.clip(slack, min=1e-8), max=cap)
 
-    cache = _pre_factor(Q, G, A, F, structure)
-    zeros_ineq = jnp.zeros((nb, nineq), dtype=dtype)
-    zeros_eq = jnp.zeros((nb, neq), dtype=dtype)
-    dx, _, dlam, dnu = _solve_kkt(cache, d, dl_dzhat, zeros_ineq, zeros_ineq, zeros_eq)
+    if structure is not None and structure[0] == "fric_pallas":
+        # fused backward KKT solve (ops/qp_pallas.py): one kernel launch,
+        # batch in the vector lanes. Valid when Q is the block-diagonal
+        # generalized mass matrix (analytic inverse).
+        from .qp_pallas import blockdiag_inv3, kkt_grad_pallas
+
+        invQ = blockdiag_inv3(Q)
+        dx, dlam, dnu = kkt_grad_pallas(
+            invQ, G, A, F, d, dl_dzhat,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        cache = _pre_factor(Q, G, A, F, structure)
+        zeros_ineq = jnp.zeros((nb, nineq), dtype=dtype)
+        zeros_eq = jnp.zeros((nb, neq), dtype=dtype)
+        dx, _, dlam, dnu = _solve_kkt(
+            cache, d, dl_dzhat, zeros_ineq, zeros_ineq, zeros_eq
+        )
 
     dp = dx
     dF = _bouter(dlam, lam)

@@ -241,9 +241,8 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim):
     return kernel
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(7, 8, 9, 10, 11))
-def _pdipm_pallas_impl(
-    Q, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b, interpret
+def _pdipm_pallas_flat(
+    Q, invQ, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b, interpret
 ):
     B, nineq, nz = G.shape
     neq_real = A.shape[-2]
@@ -256,10 +255,11 @@ def _pdipm_pallas_impl(
         b = jnp.zeros((B, 1), dtype=dtype)
 
     # one-time products (iteration-independent)
-    Q_chol = jnp.linalg.cholesky(Q)
-    invQ = jax.scipy.linalg.cho_solve(
-        (Q_chol, True), jnp.broadcast_to(jnp.eye(nz, dtype=dtype), Q.shape)
-    )
+    if invQ is None:
+        Q_chol = jnp.linalg.cholesky(Q)
+        invQ = jax.scipy.linalg.cho_solve(
+            (Q_chol, True), jnp.broadcast_to(jnp.eye(nz, dtype=dtype), Q.shape)
+        )
     AG = jnp.concatenate([A, G], axis=-2)
     base = AG @ invQ @ jnp.swapaxes(AG, -1, -2)
     # F padded into the full (m, m) Schur frame (in-kernel strided scatter
@@ -317,6 +317,43 @@ def _pdipm_pallas_impl(
     return x, y, z, s
 
 
+def _make_batched_impl(max_iter, eps, not_improved_lim, block_b, interpret):
+    """custom_vmap wrapper: vmapping this solver must FLATTEN the mapped
+    axis into the kernel's batch dimension. The default vmap-of-pallas_call
+    instead prepends a grid axis, so every mapped lane pads its own batch to
+    a multiple of block_b and runs as separate sequential grid programs —
+    a 16-lane vmap of a 9-deep probe ladder would run 32 half-empty blocks
+    instead of 18 full ones."""
+
+    @jax.custom_batching.custom_vmap
+    def impl(Q, invQ, p, G, h, A, b, F):
+        return _pdipm_pallas_flat(
+            Q, invQ, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b,
+            interpret,
+        )
+
+    @impl.def_vmap
+    def _vmap_rule(axis_size, in_batched, Q, invQ, p, G, h, A, b, F):
+        args = []
+        for x, batched in zip((Q, invQ, p, G, h, A, b, F), in_batched):
+            if not batched:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            args.append(x.reshape((-1,) + x.shape[2:]))
+        out = impl(*args)
+        out = tuple(o.reshape((axis_size, -1) + o.shape[1:]) for o in out)
+        return out, (True, True, True, True)
+
+    return impl
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _pdipm_pallas_impl(
+    Q, invQ, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b, interpret
+):
+    impl = _make_batched_impl(max_iter, eps, not_improved_lim, block_b, interpret)
+    return impl(Q, invQ, p, G, h, A, b, F)
+
+
 @_pdipm_pallas_impl.defjvp
 def _pdipm_pallas_jvp(
     max_iter, eps, not_improved_lim, block_b, interpret, primals, tangents
@@ -338,7 +375,7 @@ def _pdipm_pallas_jvp(
 def pdipm_pallas(
     Q, p, G, h, A, b, F,
     max_iter=10, eps=1e-6, not_improved_lim=3,
-    block_b=8, interpret=False,
+    block_b=8, interpret=False, invQ=None,
 ):
     """Batched PDIPM forward (x, y, z, s) — Pallas TPU kernel.
 
@@ -346,6 +383,186 @@ def pdipm_pallas(
     All inputs batched (B, ...); neq may be 0. The batch is processed in
     blocks of `block_b` problems, each block fully vectorized across
     sublanes."""
+    if invQ is None:
+        # generic path: explicit inverse via one batched Cholesky. Callers
+        # with structured Q (the block-diagonal mass matrix) should pass an
+        # analytic invQ — XLA's batched small Cholesky serializes per lane.
+        Q_chol = jnp.linalg.cholesky(Q)
+        invQ = jax.scipy.linalg.cho_solve(
+            (Q_chol, True),
+            jnp.broadcast_to(jnp.eye(Q.shape[-1], dtype=Q.dtype), Q.shape),
+        )
     return _pdipm_pallas_impl(
-        Q, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b, interpret
+        Q, invQ, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b,
+        interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Backward: one KKT solve for the implicit differentiation (lcp.py:155-213)
+# ---------------------------------------------------------------------------
+
+
+def _make_grad_kernel(nz, neq, nineq, neq_real):
+    """KKT solve with rhs (dl_dzhat, 0, 0, 0) — the only linear-algebra work
+    in the LCP backward. Same GJ machinery as the forward kernel."""
+    m = neq + nineq
+
+    def kernel(invq_ref, base_ref, g_ref, a_ref, f_ref, d_ref, rx_ref,
+               dx_out, dlam_out, dnu_out):
+        dtype = rx_ref.dtype
+        invQ = invq_ref[:]
+        base = base_ref[:]
+        G = g_ref[:]
+        A = a_ref[:]
+        F = f_ref[:]
+        d = d_ref[:]
+        rx = rx_ref[:]
+        bb = rx.shape[0]
+
+        rid = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+        eye_m = (rid == cid).astype(dtype)
+        colid = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+        pad_reg = ((colid >= neq_real) & (colid < neq)).astype(dtype)
+
+        dfull = jnp.concatenate(
+            [jnp.zeros((bb, neq), dtype=dtype), 1.0 / d], axis=-1
+        ) + pad_reg
+        S = base + F + eye_m[None] * dfull[:, None, :]
+
+        rid_aug = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * m), 0)
+        aug = jnp.concatenate([S, jnp.broadcast_to(eye_m[None], S.shape)], axis=-1)
+        for kk in range(m):
+            piv = aug[:, kk, :] / aug[:, kk, kk][:, None]
+            elim = aug - aug[:, :, kk][:, :, None] * piv[:, None, :]
+            aug = jnp.where((rid_aug == kk)[None], piv[:, None, :], elim)
+        invS = aug[:, :, m:]
+
+        invQ_rx = _mv(invQ, rx)
+        hvec = jnp.concatenate([_mv(A, invQ_rx), _mv(G, invQ_rx)], axis=-1)
+        w = -_mv(invS, hvec)
+        w_eq, w_ineq = w[:, :neq], w[:, neq:]
+        g1 = -rx - _mtv(G, w_ineq) - _mtv(A, w_eq)
+        dx_out[:] = _mv(invQ, g1)
+        dlam_out[:] = w_ineq
+        dnu_out[:] = w_eq
+
+    return kernel
+
+
+def _kkt_grad_flat(invQ, base, G, A, Ffull, d, rx, block_b, interpret):
+    B, nineq, nz = G.shape
+    m = base.shape[-1]
+    neq = m - nineq
+    dtype = rx.dtype
+
+    Bp = _round_up(max(B, block_b), block_b)
+
+    def padb(x):
+        if Bp == B:
+            return x
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (Bp - B,) + x.shape[1:])], axis=0
+        )
+
+    args = tuple(map(padb, (invQ, base, G, A, Ffull, d, rx)))
+    kernel = _make_grad_kernel(nz, neq, nineq, neq)
+
+    mat = lambda r, c: pl.BlockSpec(
+        (block_b, r, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    vec = lambda n: pl.BlockSpec(
+        (block_b, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    dx, dlam, dnu = pl.pallas_call(
+        kernel,
+        grid=(Bp // block_b,),
+        in_specs=[
+            mat(nz, nz), mat(m, m), mat(nineq, nz), mat(neq, nz), mat(m, m),
+            vec(nineq), vec(nz),
+        ],
+        out_specs=[vec(nz), vec(nineq), vec(neq)],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, nz), dtype),
+            jax.ShapeDtypeStruct((Bp, nineq), dtype),
+            jax.ShapeDtypeStruct((Bp, neq), dtype),
+        ],
+        interpret=interpret,
+    )(*args)
+    return dx[:B], dlam[:B], dnu[:B]
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def kkt_grad_pallas(invQ, G, A, F, d, rx, block_b=8, interpret=False):
+    """Solve the backward KKT system (reference lcp.py:184-198: rhs =
+    (dl_dzhat, 0, 0, 0)) for a batch, entirely in one kernel launch.
+
+    Returns (dx, dlam, dnu). `invQ` must be supplied (analytic for the
+    block-diagonal mass matrix — engine.mass_matrix_inv); `F` is the
+    (nineq, nineq) coupling, padded internally. neq may be 0."""
+    B, nineq, nz = G.shape
+    neq_real = A.shape[-2]
+    dtype = invQ.dtype
+    neq = max(neq_real, 1)
+    if neq_real == 0:
+        A = jnp.zeros((B, 1, nz), dtype=dtype)
+    m = neq + nineq
+    AG = jnp.concatenate([A, G], axis=-2)
+    base = AG @ invQ @ jnp.swapaxes(AG, -1, -2)
+    Ffull = jnp.zeros((B, m, m), dtype=dtype).at[:, neq:, neq:].set(F)
+
+    @jax.custom_batching.custom_vmap
+    def impl(invQ, base, G, A, Ffull, d, rx):
+        return _kkt_grad_flat(invQ, base, G, A, Ffull, d, rx, block_b, interpret)
+
+    @impl.def_vmap
+    def _vmap_rule(axis_size, in_batched, *args):
+        flat = []
+        for x, batched in zip(args, in_batched):
+            if not batched:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            flat.append(x.reshape((-1,) + x.shape[2:]))
+        out = impl(*flat)
+        out = tuple(o.reshape((axis_size, -1) + o.shape[1:]) for o in out)
+        return out, (True, True, True)
+
+    dx, dlam, dnu = impl(invQ, base, G, A, Ffull, d, rx)
+    if neq_real == 0:
+        dnu = dnu[:, :0]
+    return dx, dlam, dnu
+
+
+def blockdiag_inv3(Q):
+    """Inverse of a (nb, nz, nz) matrix made of 3x3 DIAGONAL blocks (the
+    generalized mass matrix layout) — analytic adjugate/det per block, no
+    LAPACK. Caller asserts the structure (the "fric_pallas" path)."""
+    nb, nz, _ = Q.shape
+    nblk = nz // 3
+    out = jnp.zeros_like(Q)
+    for i in range(nblk):
+        s = slice(3 * i, 3 * i + 3)
+        B = Q[:, s, s]
+        a, b, c = B[:, 0, 0], B[:, 0, 1], B[:, 0, 2]
+        d, e, f = B[:, 1, 0], B[:, 1, 1], B[:, 1, 2]
+        g, h, i_ = B[:, 2, 0], B[:, 2, 1], B[:, 2, 2]
+        A11 = e * i_ - f * h
+        A12 = c * h - b * i_
+        A13 = b * f - c * e
+        A21 = f * g - d * i_
+        A22 = a * i_ - c * g
+        A23 = c * d - a * f
+        A31 = d * h - e * g
+        A32 = b * g - a * h
+        A33 = a * e - b * d
+        det = a * A11 + b * A21 + c * A31
+        adj = jnp.stack(
+            [
+                jnp.stack([A11, A12, A13], axis=-1),
+                jnp.stack([A21, A22, A23], axis=-1),
+                jnp.stack([A31, A32, A33], axis=-1),
+            ],
+            axis=-2,
+        )
+        out = out.at[:, s, s].set(adj / det[:, None, None])
+    return out

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..ops.qp import lcp_solve, lcp_solve_from_solution, pdipm_solve_raw
+from ..ops.qp import _small_solve, lcp_solve, lcp_solve_from_solution, pdipm_solve_raw
 from ..utils.quaternion import quat_to_matrix
 from ..utils.spherical import normalize, orthogonal
 from .contacts import Contacts
@@ -45,6 +45,50 @@ def mass_matrix(bodies, quat):
             jnp.eye(3, dtype=dtype) * bd.mass
         )
     return M
+
+
+def _inv3(B):
+    """Analytic inverse of (..., 3, 3) via adjugate/det (pure elementwise —
+    no LAPACK call; XLA's batched small factorizations serialize on TPU)."""
+    a, b, c = B[..., 0, 0], B[..., 0, 1], B[..., 0, 2]
+    d, e, f = B[..., 1, 0], B[..., 1, 1], B[..., 1, 2]
+    g, h, i = B[..., 2, 0], B[..., 2, 1], B[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    adj = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], axis=-1),
+            jnp.stack([A21, A22, A23], axis=-1),
+            jnp.stack([A31, A32, A33], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def mass_matrix_inv(bodies, quat):
+    """(6B, 6B) inverse generalized mass matrix, analytic per 3x3 block
+    (M is block-diagonal [R I R^T, m I3] per body — mass_matrix above)."""
+    nb = len(bodies)
+    dtype = quat.dtype
+    Minv = jnp.zeros((6 * nb, 6 * nb), dtype=dtype)
+    for b, bd in enumerate(bodies):
+        R = quat_to_matrix(quat[b])
+        Minv = Minv.at[6 * b : 6 * b + 3, 6 * b : 6 * b + 3].set(
+            _inv3(R @ bd.ang_inertia @ R.T)
+        )
+        Minv = Minv.at[6 * b + 3 : 6 * b + 6, 6 * b + 3 : 6 * b + 6].set(
+            jnp.eye(3, dtype=dtype) / bd.mass
+        )
+    return Minv
 
 
 def joint_jacobian(joints, nb, state):
@@ -144,6 +188,29 @@ def apply_forces(bodies, forces, t):
     return jnp.concatenate(out)
 
 
+def _eq_constrained_solve(Minv, Je, u, b_eq=None):
+    """Solve [[M, -Je^T], [Je, 0]] [x; y] = [u; b_eq] for x via the joint Schur
+    complement — all elementwise (analytic M^-1 + unrolled Gauss-Jordan on
+    the tiny neq x neq system). Replaces jnp.linalg.solve, whose batched
+    small LU SERIALIZES per lane on TPU — and under a vmapped lax.cond the
+    no-contact branch executes for every lane every substep.
+
+    `u` may be (n,) or (D, n) (shared factorization across the D rhs)."""
+    squeeze = u.ndim == 1
+    if squeeze:
+        u = u[None]
+    Minv_u = u @ Minv.T  # (D, n)
+    neq = Je.shape[0]
+    if neq == 0:
+        return Minv_u[0] if squeeze else Minv_u
+    S = Je @ Minv @ Je.T  # (neq, neq)
+    rhs = Minv_u @ Je.T if b_eq is None else Minv_u @ Je.T - b_eq[None]
+    nD = rhs.shape[0]
+    y = -_small_solve(jnp.broadcast_to(S, (nD, neq, neq)), rhs)
+    x = Minv_u + (y @ Je) @ Minv.T
+    return x[0] if squeeze else x
+
+
 def solve_dynamics(
     bodies, joints, forces, state, contacts: Contacts, dt, cfg: SimConfig,
     lcp_sol=None, return_sol: bool = False,
@@ -180,18 +247,8 @@ def solve_dynamics(
         )
 
     def no_contact_branch(_):
-        if neq > 0:
-            P = jnp.concatenate(
-                [
-                    jnp.concatenate([M, -Je.T], axis=1),
-                    jnp.concatenate([Je, jnp.zeros((neq, neq), dtype=dtype)], axis=1),
-                ]
-            )
-            rhs = jnp.concatenate([u, jnp.zeros(neq, dtype=dtype)])
-            x = jnp.linalg.solve(P, rhs)
-        else:
-            x = jnp.linalg.solve(M, u)
-        return x[: 6 * nb], _zero_sol()
+        x = _eq_constrained_solve(mass_matrix_inv(bodies, state.quat), Je, u)
+        return x, _zero_sol()
 
     def contact_branch(_):
         Jc = contact_jacobian(contacts, nb, cfg.stop_contact_grad)
@@ -235,7 +292,17 @@ def solve_dynamics(
         # every solve would pay max_iter regardless of convergence
         eps = cfg.solver_eps if dtype == jnp.float64 else max(cfg.solver_eps, 1e-6)
         if lcp_sol is not None:
-            x = lcp_solve_from_solution(*args, lcp_sol, structure)
+            backend = cfg.solver_backend
+            if backend == "auto":
+                backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # the replay's backward (KKT implicit diff): Q here is always the
+            # block-diagonal mass matrix the pallas kernel's analytic
+            # inverse needs
+            bwd = cfg.solver_bwd if cfg.solver_bwd != "auto" else backend
+            bwd_structure = (
+                ("fric_pallas", k, fd) if bwd == "pallas" else structure
+            )
+            x = lcp_solve_from_solution(*args, lcp_sol, bwd_structure)
             sol = lcp_sol
         elif return_sol:
             x, y, z, s = pdipm_solve_raw(
@@ -294,18 +361,8 @@ def probe_dynamics_batch(bodies, joints, forces, state, contacts: Contacts, dts,
         )
 
     def no_contact_branch(_):
-        if neq > 0:
-            P = jnp.concatenate(
-                [
-                    jnp.concatenate([M, -Je.T], axis=1),
-                    jnp.concatenate([Je, jnp.zeros((neq, neq), dtype=dtype)], axis=1),
-                ]
-            )
-            rhs = jnp.concatenate([u, jnp.zeros((D, neq), dtype=dtype)], axis=1)
-            x = jnp.linalg.solve(P, rhs.T).T  # one factorization, D rhs
-        else:
-            x = jnp.linalg.solve(M, u.T).T
-        return x[:, :n], _zero_sol()
+        x = _eq_constrained_solve(mass_matrix_inv(bodies, state.quat), Je, u)
+        return x, _zero_sol()
 
     def contact_branch(_):
         Jc = contact_jacobian(contacts, nb, True)
@@ -340,9 +397,11 @@ def probe_dynamics_batch(bodies, joints, forces, state, contacts: Contacts, dts,
         if backend == "pallas":
             from ..ops.qp_pallas import pdipm_pallas
 
+            Minv = mass_matrix_inv(bodies, state.quat)
             x, y, z, s = pdipm_pallas(
                 *args, max_iter=cfg.solver_max_iter, eps=eps,
                 interpret=jax.default_backend() != "tpu",
+                invQ=jnp.broadcast_to(Minv, (D,) + Minv.shape),
             )
         else:
             x, y, z, s = pdipm_solve_raw(
@@ -365,18 +424,11 @@ def post_stabilization(bodies, joints, state, contacts: Contacts, cfg: SimConfig
     ge = Je @ v
 
     def no_contact_branch(_):
-        u = jnp.concatenate([jnp.zeros(6 * nb, dtype=dtype), ge])
-        if neq > 0:
-            P = jnp.concatenate(
-                [
-                    jnp.concatenate([M, -Je.T], axis=1),
-                    jnp.concatenate([Je, jnp.zeros((neq, neq), dtype=dtype)], axis=1),
-                ]
-            )
-            x = jnp.linalg.solve(P, u)
-        else:
-            x = jnp.linalg.solve(M, u[: 6 * nb])
-        return -x[: 6 * nb]
+        x = _eq_constrained_solve(
+            mass_matrix_inv(bodies, state.quat), Je,
+            jnp.zeros(6 * nb, dtype=dtype), b_eq=ge,
+        )
+        return -x
 
     def contact_branch(_):
         Jc = contact_jacobian(contacts, nb, cfg.stop_contact_grad)

@@ -456,10 +456,16 @@ def rollout(
     optim_sphere.py:163-177, including the detach-2nd-bounce gradient
     truncation)."""
 
+    if spec.cfg.remat_frames:
+        ckpt = jax.checkpoint(lambda st: step_frame(spec, st))
+        frame_fn = lambda _spec, st: ckpt(st)
+    else:
+        frame_fn = step_frame
+
     def frame(carry, _):
         st, n_contact_steps = carry
         pre = st
-        st2, had_contacts, recs, truncated = step_frame(spec, st)
+        st2, had_contacts, recs, truncated = frame_fn(spec, st)
 
         if detach_2nd_bounce:
             n2 = n_contact_steps + had_contacts.astype(jnp.int32)

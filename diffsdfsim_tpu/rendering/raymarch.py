@@ -133,3 +133,75 @@ def get_pointcloud(depth, cam: PinholeCamera, key=None, noise_factor: float = 0.
     if noise_factor > 0.0 and key is not None:
         depth = depth + jax.random.normal(key, depth.shape, dtype) * noise_factor * depth**2
     return jnp.stack([nx * depth, ny * depth, depth], axis=-1)
+
+
+def render_color(
+    bodies: Sequence,
+    quat,
+    pos,
+    cam: PinholeCamera,
+    camera_pose,
+    colors=None,  # (B, 3) per-body RGB in [0,1]; default distinct hues
+    light_dir=(0.3, -1.0, -0.5),  # world frame, pointing FROM the light
+    ambient: float = 0.25,
+    bg_color=(1.0, 1.0, 1.0),
+    n_steps: int = 64,
+    max_depth: float = 40.0,
+    hit_eps: float = 1e-3,
+):
+    """Lambertian color rendering (H, W, 3) on top of the sphere tracer.
+
+    Replaces the reference's pyrender color pass
+    (`sdf_physics/physics3d/utils.py:107-154`: Recorder3D renders
+    color+depth+seg with a DirectionalLight) for qualitative outputs:
+    per-body albedo, one directional light, ambient floor. Surface normals
+    come from the hit body's SDF gradient — no mesh, no rasterizer.
+
+    Returns (color (H, W, 3), depth (H, W), seg (H, W))."""
+    dtype = quat.dtype
+    nb = len(bodies)
+    if colors is None:
+        base = jnp.asarray(
+            [[0.85, 0.35, 0.25], [0.25, 0.55, 0.85], [0.35, 0.75, 0.35],
+             [0.85, 0.75, 0.25], [0.65, 0.35, 0.75], [0.75, 0.75, 0.75]],
+            dtype=dtype,
+        )
+        colors = jnp.stack([base[b % base.shape[0]] for b in range(nb)])
+    colors = jnp.asarray(colors, dtype=dtype)
+
+    depth, seg = render_depth_seg(
+        bodies, quat, pos, cam, camera_pose, n_steps, max_depth, hit_eps
+    )
+
+    # reconstruct world hit points from the depth buffer
+    R = camera_pose[:3, :3].astype(dtype)
+    origin = camera_pose[:3, 3].astype(dtype)
+    dirs_cam = _pixel_rays(cam, dtype)
+    dirs_w = dirs_cam @ R.T
+    d_flat = depth.reshape(-1)
+    # depth is -z_cam; the unnormalized ray has z_cam = -1, so pts = o + d*dir
+    pts = origin + d_flat[:, None] * dirs_w
+
+    # per-pixel normal from the hit body's SDF gradient (world frame)
+    seg_flat = seg.reshape(-1)
+    normals = jnp.zeros_like(pts)
+    for b, bd in enumerate(bodies):
+        loc = quat_apply(quat_invert(quat[b]), pts - pos[b])
+        _, g = bd.query_sdfs(loc)
+        g_w = quat_apply(quat[b], g)
+        normals = jnp.where((seg_flat == b)[:, None], g_w, normals)
+
+    light = -jnp.asarray(light_dir, dtype=dtype)
+    light = light / jnp.linalg.norm(light)
+    lam = jnp.clip(jnp.einsum("nc,c->n", normals, light), 0.0, 1.0)
+    shade = ambient + (1.0 - ambient) * lam
+
+    albedo = jnp.where(
+        (seg_flat >= 0)[:, None],
+        colors[jnp.clip(seg_flat, 0, nb - 1)],
+        jnp.asarray(bg_color, dtype=dtype),
+    )
+    rgb = jnp.where(
+        (seg_flat >= 0)[:, None], albedo * shade[:, None], albedo
+    )
+    return rgb.reshape(cam.height, cam.width, 3), depth, seg

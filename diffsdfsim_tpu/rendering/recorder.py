@@ -4,9 +4,9 @@ Reference: `sdf_physics/physics3d/utils.py:65-154` — records (color, depth,
 pointcloud, segmentation, camera poses) every `dt` of sim time, optionally
 rotating the camera around an axis, with depth noise std = factor * d².
 
-This version records depth/seg/pointcloud from the SDF ray-marcher (color is
-out of scope for the losses; a flat shading composite is provided for
-qualitative output). Frames accumulate on host as numpy arrays.
+This version records color/depth/seg/pointcloud from the SDF ray-marcher
+(color via the Lambertian pass in raymarch.render_color, matching the
+reference's pyrender color output for qualitative results). Frames accumulate on host as numpy arrays.
 """
 
 from __future__ import annotations
@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.quaternion import so3_exp_map
-from .raymarch import PinholeCamera, get_pointcloud, render_depth_seg
+from .raymarch import PinholeCamera, get_pointcloud, render_color, render_depth_seg
 
 
 class Recorder3D:
@@ -32,6 +32,8 @@ class Recorder3D:
         rotate_axis=(0, 0, 1),
         record_points: bool = False,
         record_seg: bool = False,
+        record_color: bool = False,
+        body_colors=None,
         noise_factor: float = 0.0,
         rng_seed: int = 0,
     ):
@@ -43,6 +45,8 @@ class Recorder3D:
         self.rotate_axis = np.asarray(rotate_axis, dtype=np.float64)
         self.record_points = record_points
         self.record_seg = record_seg
+        self.record_color = record_color
+        self.body_colors = body_colors
         self.noise_factor = noise_factor
         self._key = jax.random.PRNGKey(rng_seed)
         self.prev_t = -1e9
@@ -60,9 +64,15 @@ class Recorder3D:
             T[:3, :3] = R
             self.camera_pose = T @ self.camera_pose
 
-        depth, seg = render_depth_seg(
-            bodies, quat, pos, self.cam, jnp.asarray(self.camera_pose, dtype=quat.dtype)
-        )
+        cam_pose = jnp.asarray(self.camera_pose, dtype=quat.dtype)
+        color = None
+        if self.record_color:
+            color, depth, seg = render_color(
+                bodies, quat, pos, self.cam, cam_pose, colors=self.body_colors
+            )
+            color = np.asarray(color)
+        else:
+            depth, seg = render_depth_seg(bodies, quat, pos, self.cam, cam_pose)
         pc = None
         if self.record_points:
             self._key, sub = jax.random.split(self._key)
@@ -75,6 +85,7 @@ class Recorder3D:
             pc,
             np.asarray(seg) if self.record_seg else None,
             self.camera_pose.copy(),
+            color,
         )
         self.frames.append(frame)
         return frame

@@ -85,3 +85,35 @@ def test_pallas_physics_problem():
     np.testing.assert_allclose(
         np.asarray(new_v_p), np.asarray(new_v_x), rtol=1e-4, atol=1e-6
     )
+
+
+def test_kkt_grad_pallas_matches_xla():
+    """Backward implicit-diff solve: structure ("fric_pallas", ...) must give
+    the same input gradients as the XLA ("fric", ...) path. Q is the
+    block-diagonal mass-matrix layout the pallas path's analytic inverse
+    assumes."""
+    from diffsdfsim_tpu.ops.qp import lcp_solve_from_solution, pdipm_solve_raw
+
+    key = jax.random.PRNGKey(11)
+    nz, neq, k, fd = 12, 6, 3, 4
+    blocks = []
+    for i in range(nz // 3):
+        L = jax.random.normal(jax.random.fold_in(key, i), (3, 3))
+        blocks.append(L @ L.T + 3 * jnp.eye(3))
+    Q = jax.scipy.linalg.block_diag(*blocks)[None]
+    _, p, G, h, A, b, F, k, fd = _fric_problem(key, nz=nz, neq=neq, k=k, fd=fd)
+
+    sol = pdipm_solve_raw(Q, p, G, h, A, b, F, 10, 1e-9, 3, None)
+
+    def loss(args, structure):
+        p_, G_, h_ = args
+        x = lcp_solve_from_solution(Q, p_, G_, h_, A, b, F, sol, structure)
+        return jnp.sum(x**2) + jnp.sum(x[:, :3] * x[:, 3:6])
+
+    g_x = jax.grad(lambda a: loss(a, ("fric", k, fd)))((p, G, h))
+    g_p = jax.grad(lambda a: loss(a, ("fric_pallas", k, fd)))((p, G, h))
+    for gx, gp, name in zip(g_x, g_p, ("p", "G", "h")):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), rtol=1e-5, atol=1e-8,
+            err_msg=f"grad mismatch for {name}",
+        )

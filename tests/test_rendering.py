@@ -47,3 +47,27 @@ def test_erode_mask():
     e = np.asarray(erode_mask(m))
     assert e.sum() == 9  # 5x5 block erodes to 3x3
     assert e[4, 4] and not e[2, 2]
+
+
+def test_render_color_lambertian():
+    """Color pass: body pixels shaded by the light, background flat white."""
+    import jax.numpy as jnp
+    import numpy as np
+    from diffsdfsim_tpu.physics import SphereShape, make_body
+    from diffsdfsim_tpu.rendering import render_color
+
+    sphere = make_body(SphereShape(0.5), subdiv=2)
+    quat = jnp.array([[1.0, 0, 0, 0]])
+    pos = jnp.array([[0.0, 0.0, 0.0]])
+    cam = PinholeCamera.from_yfov(jnp.pi / 3, 48, 36)
+    pose = jnp.eye(4).at[2, 3].set(3.0)
+    rgb, depth, seg = render_color([sphere], quat, pos, cam, pose)
+    rgb, seg = np.asarray(rgb), np.asarray(seg)
+    assert rgb.shape == (36, 48, 3)
+    hit = seg == 0
+    assert hit.any()
+    # background exactly bg_color (white)
+    np.testing.assert_allclose(rgb[~hit], 1.0, atol=1e-6)
+    # the lit sphere shows shading variation (normals change across pixels)
+    assert rgb[hit].std() > 0.02
+    assert rgb[hit].max() <= 1.0 + 1e-6 and rgb[hit].min() >= 0.0
