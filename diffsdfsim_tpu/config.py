@@ -81,6 +81,14 @@ class SimConfig:
     # "xla" forces the structured Cholesky+Woodbury path, "pallas" the fused
     # kernel (wins under vmap batching; at B=1 the padded kernel can lose)
     solver_bwd: str = "auto"
+    # runtime accuracy fallback (reference INACC_ERR / CVXPY escape hatch,
+    # lcp/solvers/batch.py:164-167): when any probe solve's KKT residual
+    # exceeds the threshold, re-solve with solver_fallback_iters iterations
+    # under a lax.cond (paid only when triggered). Off by default: doubles
+    # the solver's compile footprint.
+    solver_fallback: bool = False
+    solver_fallback_iters: int = 30
+    solver_fallback_thresh: float = 1e-3
     # stepping (fixed-shape bounds for data-dependent control flow)
     max_bisect: int = 10  # reference dt floor dt/2**10, world.py:345
     max_substeps: int = 8  # substeps per fixed-dt frame (scan bound)

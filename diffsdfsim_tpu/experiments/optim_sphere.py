@@ -51,6 +51,7 @@ DEFAULTS = dict(
     use_gravity=True,
     use_friction=True,
     n_par=1,
+    sweep_mode="hostloop",  # hostloop | scan (scan: whole GD loop on device)
     mesh_subdiv=2,
     fric_dirs=8,
     base_dir="outputs",
@@ -221,7 +222,9 @@ def main(argv=None):
 
     keys = jax.random.split(jax.random.PRNGKey(c["seed"]), max(c["n_par"], 1))
     fn = functools.partial(run_one, c=c, cfg=cfg)
-    if c["n_par"] > 1:
+    if c["n_par"] > 1 and c["sweep_mode"] == "hostloop":
+        out = run_sweep_hostloop(keys, c, cfg)
+    elif c["n_par"] > 1:
         out = jax.jit(jax.vmap(fn))(keys)
     else:
         out = jax.jit(fn)(keys[0])

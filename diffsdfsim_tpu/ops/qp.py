@@ -536,3 +536,51 @@ def _lcp_sol_bwd(structure, res, dl_dzhat):
 
 
 lcp_solve_from_solution.defvjp(_lcp_sol_fwd, _lcp_sol_bwd)
+
+
+def lcp_residuals(Q, p, G, h, A, b, F, sol):
+    """Per-problem KKT residual of a primal-dual solution (the quantity the
+    reference thresholds before printing INACC_ERR, batch.py:164-167 +
+    lcp.py:46-61)."""
+    x, y, z, s = sol
+    nineq = G.shape[-2]
+    neq = A.shape[-2]
+    rx = _bmtv(G, z) + _bmv(jnp.swapaxes(Q, -1, -2), x) + p
+    if neq > 0:
+        rx = rx + _bmtv(A, y)
+    rz = _bmv(G, x) + s - h - _bmv(F, z)
+    mu = jnp.abs(jnp.sum(s * z, axis=-1) / nineq)
+    pri = jnp.linalg.norm(rz, axis=-1)
+    if neq > 0:
+        pri = pri + jnp.linalg.norm(_bmv(A, x) - b, axis=-1)
+    return pri + jnp.linalg.norm(rx, axis=-1) + nineq * mu
+
+
+def pdipm_solve_checked(
+    Q, p, G, h, A, b, F,
+    max_iter=10, eps=1e-12, not_improved_lim=3, structure=None,
+    fallback_iters=30, fallback_thresh=1e-3,
+):
+    """Forward solve with a runtime accuracy fallback.
+
+    The reference warns (INACC_ERR) and returns the best iterate when a
+    residual is large (`lcp_physics/lcp/solvers/batch.py:164-167`,
+    `lcp.py:134`: the CVXPY solver is its offline escape hatch). The
+    TPU-native equivalent re-solves the batch with `fallback_iters`
+    interior-point iterations and a reset initialization under a lax.cond —
+    executed only when triggered (scalar predicate), so the hot path pays
+    one residual evaluation.
+
+    Returns (sol, resids, fell_back)."""
+    sol = pdipm_solve_raw(Q, p, G, h, A, b, F, max_iter, eps, not_improved_lim, structure)
+    resids = lcp_residuals(Q, p, G, h, A, b, F, sol)
+    bad = jnp.max(resids) > fallback_thresh
+
+    def redo(_):
+        return pdipm_solve_raw(
+            Q, p, G, h, A, b, F, fallback_iters, eps, 2 * not_improved_lim, structure
+        )
+
+    sol2 = jax.lax.cond(bad, redo, lambda _: sol, None)
+    resids2 = jnp.where(bad, lcp_residuals(Q, p, G, h, A, b, F, sol2), resids)
+    return sol2, resids2, bad

@@ -398,15 +398,33 @@ def probe_dynamics_batch(bodies, joints, forces, state, contacts: Contacts, dts,
             from ..ops.qp_pallas import pdipm_pallas
 
             Minv = mass_matrix_inv(bodies, state.quat)
-            x, y, z, s = pdipm_pallas(
-                *args, max_iter=cfg.solver_max_iter, eps=eps,
-                interpret=jax.default_backend() != "tpu",
-                invQ=jnp.broadcast_to(Minv, (D,) + Minv.shape),
-            )
+
+            def run_solver(iters):
+                return pdipm_pallas(
+                    *args, max_iter=iters, eps=eps,
+                    interpret=jax.default_backend() != "tpu",
+                    invQ=jnp.broadcast_to(Minv, (D,) + Minv.shape),
+                )
         else:
-            x, y, z, s = pdipm_solve_raw(
-                *args, cfg.solver_max_iter, eps, 3, ("fric", k, fd)
+
+            def run_solver(iters):
+                return pdipm_solve_raw(*args, iters, eps, 3, ("fric", k, fd))
+
+        sol = run_solver(cfg.solver_max_iter)
+        if cfg.solver_fallback:
+            # runtime accuracy fallback (reference INACC_ERR escape hatch):
+            # re-solve the batch with escalated iterations when triggered
+            from ..ops.qp import lcp_residuals
+
+            resids = lcp_residuals(*args, sol)
+            bad = jnp.max(resids) > cfg.solver_fallback_thresh
+            sol = jax.lax.cond(
+                bad,
+                lambda _: run_solver(cfg.solver_fallback_iters),
+                lambda _: sol,
+                None,
             )
+        x, y, z, s = sol
         return -x[:, :n], (x, y, z, s)
 
     any_contact = jnp.any(contacts.valid)

@@ -134,3 +134,36 @@ def test_qp_padded_inert_rows():
     F2 = jnp.zeros((1, nz + 3, nz + 3))
     z2 = lcp_solve(Q, p, G2, h2, A, b, F2, 30, 1e-12, 5)
     np.testing.assert_allclose(z1, z2, atol=1e-6)
+
+
+def test_pdipm_solve_checked_fallback():
+    """Runtime accuracy fallback (reference INACC_ERR / CVXPY escape hatch):
+    an under-iterated solve must trigger the escalation and come back with
+    a small residual."""
+    from diffsdfsim_tpu.ops.qp import lcp_residuals, pdipm_solve_checked
+
+    key = jax.random.PRNGKey(3)
+    nz, nineq, neq = 8, 6, 2
+    L = jax.random.normal(key, (1, nz, nz))
+    Q = L @ jnp.swapaxes(L, -1, -2) + nz * jnp.eye(nz)
+    p = jax.random.normal(jax.random.fold_in(key, 1), (1, nz))
+    G = jax.random.normal(jax.random.fold_in(key, 2), (1, nineq, nz))
+    h = jax.random.uniform(jax.random.fold_in(key, 3), (1, nineq)) + 0.2
+    A = jax.random.normal(jax.random.fold_in(key, 4), (1, neq, nz))
+    b = jnp.zeros((1, neq))
+    F = jnp.zeros((1, nineq, nineq))
+
+    # 1 iteration: nowhere near converged -> fallback must trigger
+    sol, resids, fell_back = pdipm_solve_checked(
+        Q, p, G, h, A, b, F, max_iter=1, eps=1e-12,
+        fallback_iters=25, fallback_thresh=1e-6,
+    )
+    assert bool(fell_back)
+    assert float(jnp.max(resids)) < 1e-6
+
+    # plenty of iterations: no fallback
+    _, resids2, fell_back2 = pdipm_solve_checked(
+        Q, p, G, h, A, b, F, max_iter=20, eps=1e-12,
+        fallback_iters=25, fallback_thresh=1e-6,
+    )
+    assert not bool(fell_back2)

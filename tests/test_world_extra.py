@@ -128,3 +128,42 @@ def test_post_stabilization_runs():
     spec, state = drop_world(cfg=cfg)
     state2, had, _, _ = step_frame(spec, state)
     assert np.all(np.isfinite(np.asarray(state2.pos)))
+
+
+def test_notoc_friction_gradient_alive():
+    """With TOC off, the ONLY smooth radius signal is the rolling/friction
+    lever arm (p1 = -r n in Jc/Jf). This pins that path as live: a thrown
+    sphere's loss must have finite, nonzero d(loss)/d(rad) (VERDICT r1
+    task 3 — the head-on no-TOC gradient is exactly zero by construction,
+    see RESULTS_TPU.md)."""
+    import jax
+
+    from diffsdfsim_tpu.config import SimConfig
+    from diffsdfsim_tpu.physics import (
+        BoxShape, Gravity3D, SphereShape, TotalConstraint3D,
+        make_body, make_world, rollout,
+    )
+
+    cfg = SimConfig(fric_dirs=4, max_contacts_per_pair=2, max_contacts_total=2,
+                    mesh_subdiv=2, max_substeps=3, max_bisect=6, tol=1e-8,
+                    time_of_contact_diff=False)
+
+    def loss(rad):
+        floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0])), subdiv=3,
+                          fric_coeff=0.25)
+        sphere = make_body(SphereShape(rad), subdiv=2, fric_coeff=0.25)
+        poses = jnp.array([[1.0, 0, 0, 0, 0.0, -0.5, 0.0],
+                           [1.0, 0, 0, 0, 0.0, 0.52, 0.0]])
+        vels = jnp.zeros((2, 6)).at[1, 3].set(3.0).at[1, 4].set(-0.5)
+        spec, state = make_world(
+            [floor, sphere], poses, vels,
+            joints=(TotalConstraint3D(body1=0),),
+            forces=((), (Gravity3D(10.0),)), cfg=cfg,
+        )
+        final, traj = rollout(spec, state, n_frames=10)
+        # x-progress of the rolling sphere depends on rad through friction
+        return jnp.sum(traj.pos[:, :, 1, 0] ** 2 * traj.valid)
+
+    g = jax.jit(jax.grad(loss))(jnp.asarray(0.5))
+    assert bool(jnp.isfinite(g))
+    assert abs(float(g)) > 1e-8
