@@ -97,12 +97,26 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim):
             aug = jnp.concatenate(
                 [S, jnp.broadcast_to(eye_m[None], S.shape)], axis=-1
             )
-            for kk in range(m):
-                piv = aug[:, kk, :] / aug[:, kk, kk][:, None]
-                # eliminate column kk everywhere, then place the pivot row
-                # (row-select instead of .at[].set: Mosaic has no scatter)
-                elim = aug - aug[:, :, kk][:, :, None] * piv[:, None, :]
-                aug = jnp.where((rid_aug == kk)[None], piv[:, None, :], elim)
+
+            # fori_loop (uniform f32 carry legalizes; full unrolling blew
+            # the 16MB VMEM scoped stack at m ~ 90 from the long live
+            # ranges); row/col picked by masked reductions and the pivot row
+            # placed back by select (Mosaic has neither dynamic_slice on
+            # values nor scatter)
+            rid_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+            cid_2m = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * m), 1)
+
+            def gj_step(kk, aug):
+                rowmask = (rid_m == kk).astype(dtype)
+                row = jnp.sum(aug * rowmask[None], axis=1, keepdims=True)
+                colmask = (cid_2m == kk).astype(dtype)
+                pv = jnp.sum(row * colmask[None], axis=2, keepdims=True)
+                piv = row / pv  # (bb, 1, 2m)
+                col = jnp.sum(aug * colmask[None], axis=2, keepdims=True)
+                elim = aug - col * piv
+                return jnp.where(rid_aug[None] == kk, piv, elim)
+
+            aug = jax.lax.fori_loop(0, m, gj_step, aug)
             return aug[:, :, m:]
 
         def solve_kkt(invS, d, rx, rs, rz, ry):
@@ -159,14 +173,14 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim):
             bz = jnp.where(improved, z, bz)
             by = jnp.where(improved, y, by)
             bres = jnp.where(improved, res, bres)
-            nni = jnp.where(improved, 0, nni + 1)
+            nni = jnp.where(improved, 0.0, nni + 1.0)
 
-            done = (
-                done
-                | (nni >= not_improved_lim)
-                | (bres < eps)
-                | (mu > 1e32)
+            # done carried as an f32 mask (uniform carry layouts legalize
+            # Mosaic's scf.for; a bool/int mix does not)
+            newly_done = (
+                (nni >= not_improved_lim) | (bres < eps) | (mu > 1e32)
             )
+            done = jnp.where(newly_done, 1.0, done)
 
             d = z / s
             invS = inv_gj(build_S(1.0 / d))
@@ -208,31 +222,26 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim):
                 & jnp.all(jnp.isfinite(s_n), axis=-1, keepdims=True)
                 & jnp.all(jnp.isfinite(z_n), axis=-1, keepdims=True)
             )
-            done = done | ~finite
-            keep = done
+            done = jnp.where(~finite, 1.0, done)
+            keep = done > 0.5
             x_n = jnp.where(keep, x, x_n)
             s_n = jnp.where(keep, s, s_n)
             z_n = jnp.where(keep, z, z_n)
             y_n = jnp.where(keep, y, y_n)
             return (x_n, s_n, z_n, y_n, bx, bs, bz, by, bres, nni, done)
 
-        zero_i = jnp.zeros((bb, 1), dtype=jnp.int32)
         carry = (
             x, s, z, y, x, s, z, y,
             jnp.full((bb, 1), big, dtype=dtype),
-            zero_i,
-            jnp.zeros((bb, 1), dtype=bool),
+            jnp.zeros((bb, 1), dtype=dtype),
+            jnp.zeros((bb, 1), dtype=dtype),
         )
-        # fully unrolled (max_iter is static): Mosaic fails to legalize
-        # scf.for with this mixed-layout carry, and unrolling also lets the
-        # scheduler overlap iterations' independent vector work
-        for it in range(max_iter):
-            carry = body(it, carry)
+        carry = jax.lax.fori_loop(0, max_iter, body, carry)
         x, s, z, y, bx, bs, bz, by, bres, nni, done = carry
 
         # final best-iterate check on the last iterate
         _, _, _, _, _, res = residuals(x, s, z, y)
-        improved = (res < bres) & ~done
+        improved = (res < bres) & (done < 0.5)
         x_out[:] = jnp.where(improved, x, bx)
         s_out[:] = jnp.where(improved, s, bs)
         z_out[:] = jnp.where(improved, z, bz)
@@ -433,10 +442,21 @@ def _make_grad_kernel(nz, neq, nineq, neq_real):
 
         rid_aug = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * m), 0)
         aug = jnp.concatenate([S, jnp.broadcast_to(eye_m[None], S.shape)], axis=-1)
-        for kk in range(m):
-            piv = aug[:, kk, :] / aug[:, kk, kk][:, None]
-            elim = aug - aug[:, :, kk][:, :, None] * piv[:, None, :]
-            aug = jnp.where((rid_aug == kk)[None], piv[:, None, :], elim)
+
+        rid_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        cid_2m = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * m), 1)
+
+        def gj_step(kk, aug):
+            rowmask = (rid_m == kk).astype(dtype)
+            row = jnp.sum(aug * rowmask[None], axis=1, keepdims=True)
+            colmask = (cid_2m == kk).astype(dtype)
+            pv = jnp.sum(row * colmask[None], axis=2, keepdims=True)
+            piv = row / pv
+            col = jnp.sum(aug * colmask[None], axis=2, keepdims=True)
+            elim = aug - col * piv
+            return jnp.where(rid_aug[None] == kk, piv, elim)
+
+        aug = jax.lax.fori_loop(0, m, gj_step, aug)
         invS = aug[:, :, m:]
 
         invQ_rx = _mv(invQ, rx)
