@@ -95,7 +95,7 @@ def sysid_table(base="outputs/sysid_r2"):
             cfg = json.loads(cfgf.read_text())
             with open(outf, "rb") as f:
                 out = pickle.load(f)
-            err = np.abs(np.asarray(out["final_val"]) - np.asarray(out["target_val"])).ravel()
+            err = np.abs(np.asarray(out["final_theta"]) - np.asarray(out["target_theta"])).ravel()
             print(f"sysid {cfg['param']}: n={err.size} mean err {err.mean():.4f} "
                   f"max {err.max():.4f}")
 
