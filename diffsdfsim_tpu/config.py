@@ -96,6 +96,16 @@ class SimConfig:
     # trades recomputing the frame forward for not saving its residuals —
     # wins when the backward is HBM-bound on saved small tensors
     remat_frames: bool = False
+    # rematerialize each substep's differentiable replay block (replay +
+    # contact recompute + TOC) in the backward. The replay forward is cheap
+    # (the probe's cached LCP solution is re-emitted, no interior-point
+    # iterations and no FW search run), while saving its interior produces
+    # hundreds of tiny stacked residual arrays whose per-substep
+    # dynamic-slice gathers dominate the scan transpose on TPU (measured:
+    # backward was 74% of fwd+bwd step time). Recomputing the replay costs
+    # ~one extra cheap forward and collapses the residuals to the substep
+    # inputs.
+    remat_replay: bool = True
     # contact buffers
     max_contacts_per_pair: int = 8
     max_contacts_total: int = 8  # global compacted buffer size

@@ -81,11 +81,20 @@ def _pre_factor(Q, G, A, F, structure=None):
 
 def _small_solve(C, r):
     """Solve the tiny (nb,k,k) system by unrolled pivot-free Gauss-Jordan —
-    pure elementwise ops, no LAPACK custom call (k is a static handful)."""
+    pure elementwise ops, no LAPACK custom call (k is a static handful).
+
+    A zero leading pivot (singular/indefinite C) is guarded to a tiny
+    constant: for healthy pivots the `where` is a bit-exact identity, and a
+    degenerate pivot produces a huge-but-finite row whose blown residual
+    downstream accuracy checks (best-iterate / solver_fallback) can see,
+    instead of a silent NaN (ADVICE r2)."""
     k = C.shape[-1]
+    tiny = jnp.asarray(1e-30 if C.dtype == jnp.float32 else 1e-200, dtype=C.dtype)
     M = jnp.concatenate([C, r[..., None]], axis=-1)
     for i in range(k):
-        piv = M[..., i, :] / M[..., i, i][..., None]
+        pv = M[..., i, i][..., None]
+        pv = jnp.where(jnp.abs(pv) < tiny, tiny, pv)
+        piv = M[..., i, :] / pv
         M = M - M[..., :, i][..., None] * piv[..., None, :]
         M = M.at[..., i, :].set(piv)
     return M[..., -1]

@@ -103,11 +103,22 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim):
             # ranges); row/col picked by masked reductions and the pivot row
             # placed back by select (Mosaic has neither dynamic_slice on
             # values nor scatter)
+            # The GJ is pivot-free; a denormal/zero leading pivot would emit
+            # NaN/inf that the NaN-freeze then silently hides behind a stale
+            # best iterate (ADVICE r2). Guard the pivot: for healthy pivots
+            # the `where` is bit-exact identity, for a degenerate one the
+            # huge-but-finite row blows the residual so the best-iterate
+            # logic visibly rejects the step instead of freezing on NaN.
+            tiny = jnp.asarray(1e-30, dtype=dtype)
+
+            def safe_pv(pv):
+                return jnp.where(jnp.abs(pv) < tiny, tiny, pv)
+
             if m <= 64:
                 # small systems: fully unrolled with static indexing — ~20%
                 # faster per step and fits VMEM comfortably
                 for kk in range(m):
-                    piv = aug[:, kk, :] / aug[:, kk, kk][:, None]
+                    piv = aug[:, kk, :] / safe_pv(aug[:, kk, kk][:, None])
                     elim = aug - aug[:, :, kk][:, :, None] * piv[:, None, :]
                     aug = jnp.where((rid_aug == kk)[None], piv[:, None, :], elim)
                 return aug[:, :, m:]
@@ -120,7 +131,7 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim):
                 row = jnp.sum(aug * rowmask[None], axis=1, keepdims=True)
                 colmask = (cid_2m == kk).astype(dtype)
                 pv = jnp.sum(row * colmask[None], axis=2, keepdims=True)
-                piv = row / pv  # (bb, 1, 2m)
+                piv = row / safe_pv(pv)  # (bb, 1, 2m)
                 col = jnp.sum(aug * colmask[None], axis=2, keepdims=True)
                 elim = aug - col * piv
                 return jnp.where(rid_aug[None] == kk, piv, elim)
@@ -164,7 +175,9 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim):
             return _mv(F, zf)[:, neq:]
 
         def residuals(x, s, z, y):
-            rx = _mtv(G, z) + _mv(Q, x) + p + _mtv(A, y)
+            # Q^T x (not Q x): parity with ops/qp.py:294 and the reference
+            # for non-symmetric Q (identical for the symmetric mass matrix)
+            rx = _mtv(G, z) + _mtv(Q, x) + p + _mtv(A, y)
             rs = z
             rz = _mv(G, x) + s - h - Fz(z)
             ry = _mv(A, x) - b
@@ -456,9 +469,15 @@ def _make_grad_kernel(nz, neq, nineq, neq_real):
         rid_aug = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * m), 0)
         aug = jnp.concatenate([S, jnp.broadcast_to(eye_m[None], S.shape)], axis=-1)
 
+        # pivot guard: see inv_gj in the forward kernel
+        tiny = jnp.asarray(1e-30, dtype=dtype)
+
+        def safe_pv(pv):
+            return jnp.where(jnp.abs(pv) < tiny, tiny, pv)
+
         if m <= 64:
             for kk in range(m):
-                piv = aug[:, kk, :] / aug[:, kk, kk][:, None]
+                piv = aug[:, kk, :] / safe_pv(aug[:, kk, kk][:, None])
                 elim = aug - aug[:, :, kk][:, :, None] * piv[:, None, :]
                 aug = jnp.where((rid_aug == kk)[None], piv[:, None, :], elim)
         else:
@@ -470,7 +489,7 @@ def _make_grad_kernel(nz, neq, nineq, neq_real):
                 row = jnp.sum(aug * rowmask[None], axis=1, keepdims=True)
                 colmask = (cid_2m == kk).astype(dtype)
                 pv = jnp.sum(row * colmask[None], axis=2, keepdims=True)
-                piv = row / pv
+                piv = row / safe_pv(pv)
                 col = jnp.sum(aug * colmask[None], axis=2, keepdims=True)
                 elim = aug - col * piv
                 return jnp.where(rid_aug[None] == kk, piv, elim)

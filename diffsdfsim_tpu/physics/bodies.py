@@ -36,6 +36,11 @@ class BodyDef:
     restitution: jnp.ndarray  # ()
     fric_coeff: jnp.ndarray  # ()
     is_sdf: bool = struct.field(pytree_node=False, default=True)
+    # (F,) bool mask of genuinely extracted faces for marching-mesher bodies
+    # (None = all faces valid). Threaded into the FW candidate gate so
+    # degenerate parked-at-origin triangles can never become phantom contact
+    # candidates when the body origin penetrates the other body (ADVICE r2).
+    face_valid: Optional[jnp.ndarray] = None
 
     def scale(self):
         return self.shape.scale()
@@ -109,6 +114,7 @@ def make_body(
                 is_sdf=True,
             )
 
+    face_valid = None
     if verts is None and mesher == "marching":
         import jax
 
@@ -138,6 +144,7 @@ def make_body(
         corrected = v_sg - d[:, None] * sg(n)
         vmask = jnp.repeat(valid, 3)[:, None]
         verts = jnp.where(vmask, corrected, 0.0)
+        face_valid = valid
         is_sdf = True
     elif verts is None:
         if template == "auto":
@@ -177,4 +184,5 @@ def make_body(
         restitution=jnp.asarray(restitution, dtype=dtype),
         fric_coeff=jnp.asarray(fric_coeff, dtype=dtype),
         is_sdf=is_sdf,
+        face_valid=face_valid,
     )

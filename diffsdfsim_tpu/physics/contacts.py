@@ -238,6 +238,13 @@ def search_contacts_pair(
     then push/penetration/filtering (see _fw_setup/_finish_pair)."""
     pqr, query_fn, sg_frames = _fw_setup(bd1, q1, pos1, bd2, q2, pos2)
     fw = frank_wolfe_multi([pqr], [query_fn], cfg.eps, cfg.tol, cfg.fw_iters)[0]
+    if bd1.face_valid is not None:
+        # marching-mesher bodies: faces of invalid (parked-at-origin)
+        # triangles must never be contact candidates — the zero-vertex
+        # sentinel alone passes the centroid-ball gate whenever the body
+        # origin penetrates the other body (ADVICE r2)
+        fv = jax.lax.stop_gradient(bd1.face_valid)
+        fw = fw._replace(cand=fw.cand & fv, contact_mask=fw.contact_mask & fv)
     return _finish_pair(bd1, bd2, sg_frames, fw, cfg)
 
 

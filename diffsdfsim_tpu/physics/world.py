@@ -297,14 +297,6 @@ def step_dt(spec: WorldSpec, state: WorldState, dt_frame):
     cfg = spec.cfg
     dtype = state.pos.dtype
 
-    # TOC pairing with the previous step (world.py:253-257); numerically an
-    # identity, so the bisection acceptance is unaffected by it
-    use_pair = state.had_toc if cfg.time_of_contact_diff else jnp.asarray(False)
-
-    def paired(dt_k):
-        dt_p = -state.last_dt + (jax.lax.stop_gradient(state.last_dt) + dt_k)
-        return jnp.where(use_pair, dt_p, dt_k)
-
     # Gradient-free probe + bisection decide the accepted dt; ONE
     # differentiable replay then runs at that dt, reusing the accepted
     # trial's (stop-gradient) contact-search cache. Running a speculative
@@ -315,57 +307,78 @@ def step_dt(spec: WorldSpec, state: WorldState, dt_frame):
     # from the autograd graph.
     thresh = _accept_thresh(spec, state)
     k, ok_final, cache = _probe_ladder(spec, state, dt_frame, thresh)
+
+    def diff_block(state, dt_k, cache):
+        """The substep's entire differentiable work: replay + TOC +
+        post-stabilization. Kept as one function so cfg.remat_replay can
+        rematerialize it (its forward is cheap — the cached LCP solution is
+        re-emitted without interior-point iterations and the contact search
+        is skipped — while saving its interior floods the scan transpose
+        with tiny stacked residual gathers)."""
+        # TOC pairing with the previous step (world.py:253-257); numerically
+        # an identity, so the bisection acceptance is unaffected by it
+        use_pair = (
+            state.had_toc if cfg.time_of_contact_diff else jnp.asarray(False)
+        )
+        dt_p = -state.last_dt + (jax.lax.stop_gradient(state.last_dt) + dt_k)
+        dt_ = jnp.where(use_pair, dt_p, dt_k)
+
+        new_v, q2, p2, contacts = _replay(spec, state, dt_, cache)
+
+        if cfg.time_of_contact_diff:
+            # contacts new in this step: pair had no valid contact at step
+            # start (world.py:272-274 compares body-index sets)
+            toc_mask = contacts.valid & ~state.contacts.pair_active[contacts.pair_id]
+            any_toc = jnp.any(toc_mask)
+
+            af = apply_forces(spec.bodies, spec.forces, state.t).reshape(-1, 6)
+            masses = jnp.stack([b.mass for b in spec.bodies])
+            accel = af / masses[:, None]
+
+            i1, i2 = contacts.i1, contacts.i2
+            vs1, vs2 = new_v[i1], new_v[i2]
+            poss1 = p2[i1] - dt_ * vs1[:, 3:]
+            poss2 = p2[i2] - dt_ * vs2[:, 3:]
+            rot_back1 = so3_exp_map(-dt_ * vs1[:, :3])
+            rot_back2 = so3_exp_map(-dt_ * vs2[:, :3])
+            rots1 = rot_back1 @ quat_to_matrix(q2[i1])
+            rots2 = rot_back2 @ quat_to_matrix(q2[i2])
+            cs1 = (jnp.swapaxes(rots1, -1, -2) @ contacts.p1[..., None])[..., 0]
+            cs2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.p2[..., None])[..., 0]
+            ns2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.normal[..., None])[..., 0]
+
+            args = TocArgs(
+                cs1=cs1, cs2=cs2, vs1=vs1, vs2=vs2,
+                poss1=poss1, poss2=poss2, rots1=rots1, rots2=rots2,
+                ns2=ns2, as1=accel[i1], as2=accel[i2],
+            )
+            dt_toc = toc_dt(dt_, args, toc_mask)
+            # redo the move with the gradient-carrying dt (world.py:329-341);
+            # numerically identical, so always replay
+            q2, p2 = _integrate(state.quat, state.pos, new_v, dt_toc)
+            last_dt = jnp.where(any_toc, dt_toc, state.last_dt)
+            had_toc = any_toc
+        else:
+            last_dt = state.last_dt
+            had_toc = jnp.zeros((), dtype=bool)
+
+        if cfg.post_stab:
+            dp = post_stabilization(
+                spec.bodies, spec.joints,
+                WorldState(q2, p2, new_v, state.t, contacts, last_dt, had_toc),
+                contacts, cfg,
+            ).reshape(-1, 6) / 2.0
+            q2, p2 = _integrate(q2, p2, dp, dt_k)
+            contacts = find_contacts(
+                spec.bodies, q2, p2, spec.directed_pairs, spec.n_unordered, cfg
+            )
+        return new_v, q2, p2, contacts, last_dt, had_toc
+
+    if cfg.remat_replay:
+        diff_block = jax.checkpoint(diff_block)
+
     dt_k = dt_frame * 0.5 ** k.astype(dtype)
-    new_v, q2, p2, contacts = _replay(spec, state, paired(dt_k), cache)
-    dt_ = paired(dt_k)
-
-    if cfg.time_of_contact_diff:
-        # contacts new in this step: pair had no valid contact at step start
-        # (world.py:272-274 compares body-index sets)
-        toc_mask = contacts.valid & ~state.contacts.pair_active[contacts.pair_id]
-        any_toc = jnp.any(toc_mask)
-
-        af = apply_forces(spec.bodies, spec.forces, state.t).reshape(-1, 6)
-        masses = jnp.stack([b.mass for b in spec.bodies])
-        accel = af / masses[:, None]
-
-        i1, i2 = contacts.i1, contacts.i2
-        vs1, vs2 = new_v[i1], new_v[i2]
-        poss1 = p2[i1] - dt_ * vs1[:, 3:]
-        poss2 = p2[i2] - dt_ * vs2[:, 3:]
-        rot_back1 = so3_exp_map(-dt_ * vs1[:, :3])
-        rot_back2 = so3_exp_map(-dt_ * vs2[:, :3])
-        rots1 = rot_back1 @ quat_to_matrix(q2[i1])
-        rots2 = rot_back2 @ quat_to_matrix(q2[i2])
-        cs1 = (jnp.swapaxes(rots1, -1, -2) @ contacts.p1[..., None])[..., 0]
-        cs2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.p2[..., None])[..., 0]
-        ns2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.normal[..., None])[..., 0]
-
-        args = TocArgs(
-            cs1=cs1, cs2=cs2, vs1=vs1, vs2=vs2,
-            poss1=poss1, poss2=poss2, rots1=rots1, rots2=rots2,
-            ns2=ns2, as1=accel[i1], as2=accel[i2],
-        )
-        dt_toc = toc_dt(dt_, args, toc_mask)
-        # redo the move with the gradient-carrying dt (world.py:329-341);
-        # numerically identical, so always replay
-        q2, p2 = _integrate(state.quat, state.pos, new_v, dt_toc)
-        last_dt = jnp.where(any_toc, dt_toc, state.last_dt)
-        had_toc = any_toc
-    else:
-        last_dt = state.last_dt
-        had_toc = jnp.zeros((), dtype=bool)
-
-    if cfg.post_stab:
-        dp = post_stabilization(
-            spec.bodies, spec.joints,
-            WorldState(q2, p2, new_v, state.t, contacts, last_dt, had_toc),
-            contacts, cfg,
-        ).reshape(-1, 6) / 2.0
-        q2, p2 = _integrate(q2, p2, dp, dt_k)
-        contacts = find_contacts(
-            spec.bodies, q2, p2, spec.directed_pairs, spec.n_unordered, cfg
-        )
+    new_v, q2, p2, contacts, last_dt, had_toc = diff_block(state, dt_k, cache)
 
     new_state = WorldState(
         quat=q2,
