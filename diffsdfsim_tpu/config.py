@@ -89,6 +89,15 @@ class SimConfig:
     solver_fallback: bool = False
     solver_fallback_iters: int = 30
     solver_fallback_thresh: float = 1e-3
+    # Frank-Wolfe contact-search backend: "auto" (fused Pallas kernel on TPU
+    # for analytic-SDF pairs, XLA elsewhere), "pallas" (forced; interpret
+    # mode off-TPU — parity tests), or "xla". The kernel (ops/fw_pallas.py)
+    # runs the whole per-pair search — candidate gate, 32 FW iterations,
+    # surface push, contact quantities — in one launch with per-face state
+    # resident in VMEM; the XLA path pays ~50 HBM-roundtrip ops per FW
+    # iteration and is the bandwidth wall under probe-ladder x seed-batch
+    # vmap. Grid/latent shapes always use the XLA path.
+    fw_backend: str = "auto"
     # stepping (fixed-shape bounds for data-dependent control flow)
     max_bisect: int = 10  # reference dt floor dt/2**10, world.py:345
     max_substeps: int = 8  # substeps per fixed-dt frame (scan bound)

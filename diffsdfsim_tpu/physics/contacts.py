@@ -225,6 +225,63 @@ def _finish_pair(bd1: BodyDef, bd2: BodyDef, sg_frames, fw, cfg: SimConfig) -> P
     return jax.tree_util.tree_map(jax.lax.stop_gradient, cache)
 
 
+def _use_fw_pallas(bd1: BodyDef, bd2: BodyDef, cfg: SimConfig) -> bool:
+    from ..ops import fw_pallas
+
+    if cfg.fw_backend == "xla":
+        return False
+    if not fw_pallas.supported_pair(bd1, bd2):
+        return False
+    return cfg.fw_backend == "pallas" or jax.default_backend() == "tpu"
+
+
+def _search_pair_pallas(
+    bd1: BodyDef, q1, pos1, bd2: BodyDef, q2, pos2, cfg: SimConfig
+) -> PairCache:
+    """Fused-kernel variant of the gradient-free pair search: one Pallas
+    launch (ops/fw_pallas.py) replaces the FW while_loop + finalize +
+    no-grad contact quantities; only the contact filter stays in XLA."""
+    from ..ops import fw_pallas
+
+    sg = jax.lax.stop_gradient
+    q1s, p1s, q2s, p2s = sg(q1), sg(pos1), sg(q2), sg(pos2)
+    bd1s = jax.tree_util.tree_map(sg, bd1)
+    bd2s = jax.tree_util.tree_map(sg, bd2)
+    interpret = jax.default_backend() != "tpu"
+
+    abc, n_ng, p1_ng, pen, cand, cmask, max_pen = fw_pallas.fw_search_pair(
+        bd1s, q1s, p1s, bd2s, q2s, p2s, cfg, interpret=interpret
+    )
+    if bd1.face_valid is not None:
+        fv = sg(bd1.face_valid)
+        cand = cand & fv
+        cmask = cmask & fv
+        max_pen = jnp.max(jnp.where(cmask, pen, -jnp.inf))
+
+    k = cfg.max_contacts_per_pair
+
+    def with_candidates(_):
+        sel_idx, sel_valid = filter_contacts(
+            n_ng, p1_ng, cmask, k_out=k, n_clusters=cfg.max_filter_clusters
+        )
+        return PairCache(
+            abc_sel=abc[sel_idx], sel_idx=sel_idx, sel_valid=sel_valid,
+            max_pen=max_pen,
+        )
+
+    def without_candidates(_):
+        dtype = abc.dtype
+        return PairCache(
+            abc_sel=jnp.zeros((k, 3), dtype=dtype),
+            sel_idx=jnp.zeros((k,), dtype=jnp.int32),
+            sel_valid=jnp.zeros((k,), dtype=bool),
+            max_pen=jnp.asarray(-jnp.inf, dtype=dtype),
+        )
+
+    cache = jax.lax.cond(jnp.any(cand), with_candidates, without_candidates, None)
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, cache)
+
+
 def search_contacts_pair(
     bd1: BodyDef,
     q1,
@@ -236,6 +293,8 @@ def search_contacts_pair(
 ) -> PairCache:
     """One directed pair's gradient-free phase: FW search over all faces,
     then push/penetration/filtering (see _fw_setup/_finish_pair)."""
+    if _use_fw_pallas(bd1, bd2, cfg):
+        return _search_pair_pallas(bd1, q1, pos1, bd2, q2, pos2, cfg)
     pqr, query_fn, sg_frames = _fw_setup(bd1, q1, pos1, bd2, q2, pos2)
     fw = frank_wolfe_multi([pqr], [query_fn], cfg.eps, cfg.tol, cfg.fw_iters)[0]
     if bd1.face_valid is not None:

@@ -211,6 +211,61 @@ def _eq_constrained_solve(Minv, Je, u, b_eq=None):
     return x[0] if squeeze else x
 
 
+def assemble_contact_lcp(bodies, contacts: Contacts, v, cfg: SimConfig, stop_grads=None):
+    """Contact-LCP constraint data shared by every solve path (and dumped by
+    tests/test_qp_crosscheck.py for the independent-solver parity check):
+    G = [Jc; Jf; 0], the friction coupling F (reference world.py:493-501),
+    and h = [restitution * Jc v; 0; 0] with strictly-feasible inert rows for
+    padded contact slots. Returns (G, F, hvec, k, fd, nineq)."""
+    nb = v.shape[0] // 6
+    dtype = v.dtype
+    k = contacts.valid.shape[0]
+    fd = cfg.fric_dirs
+    nineq = k * (2 + fd)
+    sg_c = cfg.stop_contact_grad if stop_grads is None else stop_grads
+    sg_f = cfg.stop_friction_grad if stop_grads is None else stop_grads
+
+    Jc = contact_jacobian(contacts, nb, sg_c)
+    Jf = friction_jacobian(contacts, nb, fd, sg_f)
+    mu, restitution = contact_coeffs(contacts, bodies)
+
+    E = jnp.repeat(jnp.eye(k, dtype=dtype), fd, axis=0)  # (k*fd, k)
+    G = jnp.concatenate([Jc, Jf, jnp.zeros((k, 6 * nb), dtype=dtype)])
+    F = jnp.zeros((nineq, nineq), dtype=dtype)
+    F = F.at[k : k + k * fd, -k:].set(E)
+    F = F.at[-k:, :k].set(jnp.diag(mu))
+    F = F.at[-k:, k : k + k * fd].set(-E.T)
+
+    hvec = jnp.concatenate(
+        [(Jc @ v) * restitution, jnp.zeros(k * fd + k, dtype=dtype)]
+    )
+    invalid = ~contacts.valid
+    pad = jnp.concatenate([invalid, jnp.repeat(invalid, fd), invalid]).astype(dtype)
+    hvec = hvec + pad
+    return G, F, hvec, k, fd, nineq
+
+
+def dump_contact_lcp(bodies, joints, forces, state, contacts: Contacts, dt, cfg: SimConfig):
+    """Test/diagnostic hook: the exact (Q, p, G, h, A, b, F) batch-of-1
+    mixed LCP `solve_dynamics` would hand the PDIPM at this state — the
+    reference's CVXPY-cross-check role (lcp/solvers/cvxpy.py:29-55) is
+    filled by solving THESE with an independent algorithm in tests."""
+    nb = len(bodies)
+    dtype = state.v.dtype
+    v = state.v.reshape(-1)
+    M = mass_matrix(bodies, state.quat)
+    Je = joint_jacobian(joints, nb, state)
+    neq = Je.shape[0]
+    f = apply_forces(bodies, forces, state.t)
+    u = M @ v + dt * f
+    G, F, hvec, k, fd, nineq = assemble_contact_lcp(bodies, contacts, v, cfg)
+    return (
+        M[None], u[None], G[None], hvec[None],
+        Je[None] if neq > 0 else jnp.zeros((1, 0, 6 * nb), dtype=dtype),
+        jnp.zeros((1, neq), dtype=dtype), F[None],
+    ), ("fric", k, fd)
+
+
 def solve_dynamics(
     bodies, joints, forces, state, contacts: Contacts, dt, cfg: SimConfig,
     lcp_sol=None, return_sol: bool = False,
@@ -251,31 +306,7 @@ def solve_dynamics(
         return x, _zero_sol()
 
     def contact_branch(_):
-        Jc = contact_jacobian(contacts, nb, cfg.stop_contact_grad)
-        Jf = friction_jacobian(contacts, nb, fd, cfg.stop_friction_grad)
-        mu, restitution = contact_coeffs(contacts, bodies)
-
-        # E selector (world.py:493-501)
-        E = jnp.repeat(jnp.eye(k, dtype=dtype), fd, axis=0)  # (k*fd, k)
-
-        G = jnp.concatenate([Jc, Jf, jnp.zeros((k, 6 * nb), dtype=dtype)])
-        F = jnp.zeros((nineq, nineq), dtype=dtype)
-        F = F.at[k : k + k * fd, -k:].set(E)
-        F = F.at[-k:, :k].set(jnp.diag(mu))
-        F = F.at[-k:, k : k + k * fd].set(-E.T)
-
-        hvec = jnp.concatenate(
-            [
-                (Jc @ v) * restitution,
-                jnp.zeros(k * fd + k, dtype=dtype),
-            ]
-        )
-        # padded slots: strictly feasible inert rows (h = 1)
-        invalid = ~contacts.valid
-        pad = jnp.concatenate(
-            [invalid, jnp.repeat(invalid, fd), invalid]
-        ).astype(dtype)
-        hvec = hvec + pad
+        G, F, hvec, _, _, _ = assemble_contact_lcp(bodies, contacts, v, cfg)
 
         args = (
             M[None],
@@ -365,23 +396,9 @@ def probe_dynamics_batch(bodies, joints, forces, state, contacts: Contacts, dts,
         return x, _zero_sol()
 
     def contact_branch(_):
-        Jc = contact_jacobian(contacts, nb, True)
-        Jf = friction_jacobian(contacts, nb, fd, True)
-        mu, restitution = contact_coeffs(contacts, bodies)
-
-        E = jnp.repeat(jnp.eye(k, dtype=dtype), fd, axis=0)
-        G = jnp.concatenate([Jc, Jf, jnp.zeros((k, n), dtype=dtype)])
-        F = jnp.zeros((nineq, nineq), dtype=dtype)
-        F = F.at[k : k + k * fd, -k:].set(E)
-        F = F.at[-k:, :k].set(jnp.diag(mu))
-        F = F.at[-k:, k : k + k * fd].set(-E.T)
-
-        hvec = jnp.concatenate(
-            [(Jc @ v) * restitution, jnp.zeros(k * fd + k, dtype=dtype)]
+        G, F, hvec, _, _, _ = assemble_contact_lcp(
+            bodies, contacts, v, cfg, stop_grads=True
         )
-        invalid = ~contacts.valid
-        pad = jnp.concatenate([invalid, jnp.repeat(invalid, fd), invalid]).astype(dtype)
-        hvec = hvec + pad
 
         bc = lambda a: jnp.broadcast_to(a, (D,) + a.shape)
         args = (

@@ -1,0 +1,143 @@
+"""Parity tests: fused Pallas FW contact-search kernel vs the XLA path.
+
+The kernel (ops/fw_pallas.py) must reproduce the XLA search
+(physics/contacts.search_contacts_pair with fw_backend='xla') — same FW
+semantics, same contact quantities — since the XLA path is itself
+parity-tested against the reference pipeline. Runs in interpret mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffsdfsim_tpu.config import SimConfig
+from diffsdfsim_tpu.physics import (
+    BoxShape,
+    CylinderShape,
+    RoundedBoxShape,
+    SphereShape,
+    make_body,
+)
+from diffsdfsim_tpu.physics.contacts import (
+    _search_pair_pallas,
+    find_contacts_pair,
+    search_contacts_pair,
+)
+from diffsdfsim_tpu.utils.spherical import normalize
+
+
+def _cfg(**kw):
+    base = dict(
+        fric_dirs=8, max_contacts_per_pair=4, max_contacts_total=8,
+        mesh_subdiv=2, tol=1e-8,
+    )
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def _pair_cases():
+    floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0])), subdiv=3)
+    sphere = make_body(SphereShape(jnp.asarray(0.5)), subdiv=2)
+    cube = make_body(RoundedBoxShape(jnp.array([0.6, 0.6, 0.6]), jnp.asarray(0.05)), subdiv=2)
+    cyl = make_body(CylinderShape(jnp.asarray(0.4), jnp.asarray(0.8)), subdiv=2)
+    eye = jnp.array([1.0, 0, 0, 0])
+    tilt = normalize(jnp.array([0.95, 0.2, 0.1, 0.05]))
+    cases = []
+    # touching / penetrating / separated, both directions of the pair
+    for y, tag in [(0.5 - 1e-4, "pen"), (0.5 + 1e-5, "touch"), (2.0, "apart")]:
+        cases.append((sphere, eye, jnp.array([0.0, y, 0.0]),
+                      floor, eye, jnp.array([0.0, -0.5, 0.0]), f"sph-floor-{tag}"))
+        cases.append((floor, eye, jnp.array([0.0, -0.5, 0.0]),
+                      sphere, eye, jnp.array([0.0, y, 0.0]), f"floor-sph-{tag}"))
+    cases.append((cube, tilt, jnp.array([0.05, 0.28, -0.02]),
+                  floor, eye, jnp.array([0.0, -0.5, 0.0]), "cube-floor-tilt"))
+    cases.append((cyl, tilt, jnp.array([0.0, 0.38, 0.0]),
+                  floor, eye, jnp.array([0.0, -0.5, 0.0]), "cyl-floor-tilt"))
+    cases.append((sphere, eye, jnp.array([0.0, 0.75, 0.0]),
+                  cube, eye, jnp.array([0.0, 0.0, 0.0]), "sph-cube"))
+    return cases
+
+
+@pytest.mark.parametrize("case", _pair_cases(), ids=lambda c: c[-1])
+def test_pair_search_parity(case):
+    bd1, q1, p1, bd2, q2, p2, _ = case
+    cfg_x = _cfg(fw_backend="xla")
+    cfg_p = _cfg(fw_backend="pallas")
+
+    ref = search_contacts_pair(bd1, q1, p1, bd2, q2, p2, cfg_x)
+    out = _search_pair_pallas(bd1, q1, p1, bd2, q2, p2, cfg_p)
+
+    # acceptance-critical scalar
+    if np.isfinite(float(ref.max_pen)) or np.isfinite(float(out.max_pen)):
+        np.testing.assert_allclose(
+            np.asarray(out.max_pen), np.asarray(ref.max_pen), atol=1e-5
+        )
+    else:
+        assert not np.isfinite(float(out.max_pen))
+
+    # same number of selected contacts
+    assert int(out.sel_valid.sum()) == int(ref.sel_valid.sum())
+
+    # same contact geometry: compare selected contact points (sorted) via
+    # the differentiable recompute, which consumes the cache
+    if int(ref.sel_valid.sum()) > 0:
+        n_r, p1_r, p2_r, pen_r, v_r, _ = find_contacts_pair(
+            bd1, q1, p1, bd2, q2, p2, cfg_x, cache=ref
+        )
+        n_o, p1_o, p2_o, pen_o, v_o, _ = find_contacts_pair(
+            bd1, q1, p1, bd2, q2, p2, cfg_p, cache=out
+        )
+
+        def pack(p1c, nc, penc, v):
+            rows = np.concatenate(
+                [np.asarray(p1c), np.asarray(nc), np.asarray(penc)[:, None]], axis=1
+            )[np.asarray(v)]
+            return rows[np.lexsort(rows.T[::-1])]
+
+        np.testing.assert_allclose(
+            pack(p1_o, n_o, pen_o, v_o), pack(p1_r, n_r, pen_r, v_r),
+            atol=2e-4,
+        )
+
+
+def test_rollout_parity_pallas_vs_xla():
+    """Short bounce rollout: trajectories must match between backends."""
+    from diffsdfsim_tpu.physics import Gravity3D, TotalConstraint3D, make_world, rollout
+
+    def run(backend):
+        cfg = _cfg(fw_backend=backend, max_substeps=3, max_bisect=6)
+        floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0])), subdiv=3, fric_coeff=0.25)
+        sphere = make_body(SphereShape(jnp.asarray(0.55)), subdiv=2, fric_coeff=0.25)
+        poses = jnp.array([[1.0, 0, 0, 0, 0.0, -0.5, 0.0], [1.0, 0, 0, 0, 0.0, 1.1, 0.0]])
+        spec, state = make_world(
+            [floor, sphere], poses, jnp.zeros((2, 6)),
+            joints=(TotalConstraint3D(body1=0),),
+            forces=((), (Gravity3D(10.0),)), cfg=cfg,
+        )
+        final, traj = rollout(spec, state, n_frames=20)
+        return np.asarray(traj.pos)[:, :, 1, :]
+
+    np.testing.assert_allclose(run("pallas"), run("xla"), atol=1e-5)
+
+
+def test_gradients_flow_with_pallas_search():
+    """The kernel is the gradient-free phase; radius gradients must still
+    flow through the differentiable recompute and be finite/nonzero."""
+    from diffsdfsim_tpu.physics import Gravity3D, TotalConstraint3D, make_world, rollout
+
+    def loss(rad):
+        cfg = _cfg(fw_backend="pallas", max_substeps=3, max_bisect=6)
+        floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0])), subdiv=2, fric_coeff=0.25)
+        sphere = make_body(SphereShape(rad), subdiv=1, fric_coeff=0.25)
+        poses = jnp.array([[1.0, 0, 0, 0, 0.0, -0.5, 0.0], [1.0, 0, 0, 0, 0.0, 1.1, 0.0]])
+        spec, state = make_world(
+            [floor, sphere], poses, jnp.zeros((2, 6)),
+            joints=(TotalConstraint3D(body1=0),),
+            forces=((), (Gravity3D(10.0),)), cfg=cfg,
+        )
+        final, traj = rollout(spec, state, n_frames=15)
+        return jnp.sum(traj.pos[:, :, 1, :] ** 2 * traj.valid[:, :, None])
+
+    g = jax.grad(loss)(jnp.asarray(0.55))
+    assert np.isfinite(float(g)) and abs(float(g)) > 1e-8
