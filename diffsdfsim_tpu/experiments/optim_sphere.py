@@ -161,15 +161,32 @@ def run_one(key, c, cfg):
 
     vg = jax.value_and_grad(loss_fn)
 
-    def step(carry, _):
-        rad, opt_state = carry
-        val, g = vg(rad, tgt_traj)
-        upd, opt_state = opt.update(g, opt_state)
-        rad = jnp.clip(rad + upd, lo, hi)
-        return (rad, opt_state), (val, rad)
+    # the reference BREAKS when the loss plateaus (|last - loss| <
+    # conv_thresh, optim_sphere.py:272-276) BEFORE applying the step. This
+    # is load-bearing for the no-TOC ablations: without the TOC differential
+    # the loss is a discretization staircase and continued GD on its noisy
+    # gradients walks away from the optimum after reaching it. Static-shape
+    # equivalent: a done flag freezes (rad, opt_state) once converged.
+    thresh = c["conv_thresh"]
 
-    (rad_f, _), (loss_hist, rad_hist) = jax.lax.scan(
-        step, (start_rad, opt.init(start_rad)), None, length=c["max_iter"]
+    def step(carry, _):
+        rad, opt_state, last, done = carry
+        val, g = vg(rad, tgt_traj)
+        done = done | (jnp.abs(last - val) < thresh)
+        upd, new_opt_state = opt.update(g, opt_state)
+        new_rad = jnp.clip(rad + upd, lo, hi)
+        rad = jnp.where(done, rad, new_rad)
+        opt_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(done, a, b), opt_state, new_opt_state
+        )
+        return (rad, opt_state, val, done), (val, rad)
+
+    big = jnp.asarray(1e10, dtype=start_rad.dtype)
+    (rad_f, _, _, _), (loss_hist, rad_hist) = jax.lax.scan(
+        step,
+        (start_rad, opt.init(start_rad), big, jnp.asarray(False)),
+        None,
+        length=c["max_iter"],
     )
     return dict(
         start_rad=start_rad,
@@ -192,20 +209,36 @@ def run_sweep_hostloop(keys, c, cfg):
 
     opt = optax.adam(c["lr"]) if c["optimizer"] == "Adam" else optax.sgd(c["lr"])
 
+    thresh = c["conv_thresh"]
+
     @jax.jit
-    def gd_step(rad, opt_state):
+    def gd_step(rad, opt_state, last, done):
         val, g = jax.vmap(jax.value_and_grad(loss_fn))(rad, tgt_traj)
-        upd, opt_state = opt.update(g, opt_state)
-        rad = jnp.clip(rad + upd, lo, hi)
-        return rad, opt_state, val
+        # per-lane convergence freeze (reference early-stop semantics,
+        # optim_sphere.py:272-276 — see run_one)
+        done = done | (jnp.abs(last - val) < thresh)
+        upd, new_opt_state = opt.update(g, opt_state)
+        new_rad = jnp.clip(rad + upd, lo, hi)
+        rad = jnp.where(done, rad, new_rad)
+        opt_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(done, a, b), opt_state, new_opt_state
+        )
+        return rad, opt_state, val, done
 
     rad = start_rad
     opt_state = opt.init(rad)
+    last = jnp.full_like(rad, 1e10)
+    done = jnp.zeros(rad.shape, dtype=bool)
     loss_hist, rad_hist = [], []
     for _ in range(c["max_iter"]):
-        rad, opt_state, val = gd_step(rad, opt_state)
-        loss_hist.append(val)
+        rad, opt_state, last, done = gd_step(rad, opt_state, last, done)
+        loss_hist.append(last)
         rad_hist.append(rad)
+        if bool(jnp.all(done)):
+            # replicate history to fixed length for the caller
+            loss_hist += [loss_hist[-1]] * (c["max_iter"] - len(loss_hist))
+            rad_hist += [rad_hist[-1]] * (c["max_iter"] - len(rad_hist))
+            break
     return dict(
         start_rad=start_rad,
         final_rad=rad,

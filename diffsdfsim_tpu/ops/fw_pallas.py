@@ -512,7 +512,7 @@ def fw_search_pair(bd1s, q1, pos1, bd2s, q2, pos2, cfg, interpret=False):
 
     Returns (abc (F,3), n_ng (F,3), p1_ng (F,3), pen (F,), cand (F,) bool,
     contact_mask (F,) bool, max_pen ()) — the no-grad quantities
-    physics/contacts._finish_pair derives from the XLA search path."""
+    physics/contacts._search_pair_raw_xla derives on the XLA path."""
     from ..utils.quaternion import quat_apply, quat_invert, quat_to_matrix
 
     dtype = q1.dtype

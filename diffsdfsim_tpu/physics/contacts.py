@@ -152,6 +152,22 @@ class PairCache(NamedTuple):
     max_pen: jnp.ndarray  # () over ALL candidates (step acceptance)
 
 
+class RawPairSearch(NamedTuple):
+    """Per-face search results of one directed pair BEFORE filtering.
+
+    The probe ladder (world._probe_ladder) needs only `max_pen` per trial dt
+    to pick the accepted rung; filtering to K representatives is deferred to
+    the single selected rung (`cache_from_raw`) instead of paying it D times
+    under the ladder vmap."""
+
+    abc: jnp.ndarray  # (F,3)
+    n_ng: jnp.ndarray  # (F,3) world normals (no-grad)
+    p1_ng: jnp.ndarray  # (F,3) world-oriented p1 offsets (no-grad)
+    pen: jnp.ndarray  # (F,)
+    cmask: jnp.ndarray  # (F,) bool contact mask
+    max_pen: jnp.ndarray  # ()
+
+
 def _fw_setup(bd1: BodyDef, q1, pos1, bd2: BodyDef, q2, pos2):
     """Stop-gradient inputs of one directed pair's FW search: triangles of
     bd1's surface in bd2's local metric frame + bd2's SDF query."""
@@ -164,14 +180,25 @@ def _fw_setup(bd1: BodyDef, q1, pos1, bd2: BodyDef, q2, pos2):
     return pqr, (lambda p: bd2s.query_sdfs(p)), (q1s, p1s, q2s, p2s, bd1s, bd2s)
 
 
-def _finish_pair(bd1: BodyDef, bd2: BodyDef, sg_frames, fw, cfg: SimConfig) -> PairCache:
-    """Post-FW gradient-free phase of one directed pair: surface push +
-    contact test, penetration measurement, and filtering to
-    K = cfg.max_contacts_per_pair representative candidates. The reference
-    runs exactly this under torch.no_grad (contacts.py:255-264)."""
-    k = cfg.max_contacts_per_pair
+def _search_pair_raw_xla(
+    bd1: BodyDef, q1, pos1, bd2: BodyDef, q2, pos2, cfg: SimConfig
+) -> RawPairSearch:
+    """XLA backend of one directed pair's gradient-free search: FW over all
+    faces, surface push + contact test, no-grad contact quantities. The
+    reference runs exactly this under torch.no_grad (contacts.py:255-264)."""
     sg = jax.lax.stop_gradient
+    pqr, query_fn, sg_frames = _fw_setup(bd1, q1, pos1, bd2, q2, pos2)
+    fw = frank_wolfe_multi([pqr], [query_fn], cfg.eps, cfg.tol, cfg.fw_iters)[0]
+    if bd1.face_valid is not None:
+        # marching-mesher bodies: faces of invalid (parked-at-origin)
+        # triangles must never be contact candidates — the zero-vertex
+        # sentinel alone passes the centroid-ball gate whenever the body
+        # origin penetrates the other body (ADVICE r2)
+        fv = jax.lax.stop_gradient(bd1.face_valid)
+        fw = fw._replace(cand=fw.cand & fv, contact_mask=fw.contact_mask & fv)
     q1s, p1s, q2s, p2s, bd1s, bd2s = sg_frames
+    F = fw.abc.shape[0]
+    dtype = fw.abc.dtype
 
     push_fn = None
     if bd1.is_sdf:
@@ -183,8 +210,9 @@ def _finish_pair(bd1: BodyDef, bd2: BodyDef, sg_frames, fw, cfg: SimConfig) -> P
             s1, g1 = bd1s.query_sdfs(x_b1)
             return -s1[..., None] * quat_apply(q21, g1)
 
-    # the entire contact-quantity + filtering phase only matters when some
-    # face is a candidate; the common far-apart frame skips it at runtime
+    # the contact-quantity phase only matters when some face is a candidate;
+    # the common far-apart frame skips it at runtime (under vmap both
+    # branches execute — unavoidable cond semantics)
     def with_candidates(_):
         fwf = finalize_fw(fw, lambda p: bd2s.query_sdfs(p), cfg.eps, push_fn)
         # no-grad contact quantities over all faces (filtering + acceptance).
@@ -195,34 +223,31 @@ def _finish_pair(bd1: BodyDef, bd2: BodyDef, sg_frames, fw, cfg: SimConfig) -> P
         # unaffected. The differentiable recompute applies the exact test.
         n_ng, p1_ng, _, pen_ng = _compute_contacts(
             bd1s, q1s, p1s, bd2s, q2s, p2s,
-            sg(fwf.abc), jnp.arange(fwf.abc.shape[0]), fwf.contact_mask,
+            sg(fwf.abc), jnp.arange(F), fwf.contact_mask,
             cfg.eps, cfg.detach_contact_b2, with_stability=False,
         )
         max_pen = jnp.max(jnp.where(fwf.contact_mask, pen_ng, -jnp.inf))
-        sel_idx, sel_valid = filter_contacts(
-            n_ng, p1_ng, fwf.contact_mask, k_out=k,
-            n_clusters=cfg.max_filter_clusters,
-        )
-        return PairCache(
-            abc_sel=sg(fwf.abc)[sel_idx], sel_idx=sel_idx,
-            sel_valid=sel_valid, max_pen=max_pen,
+        return RawPairSearch(
+            abc=sg(fwf.abc), n_ng=n_ng, p1_ng=p1_ng, pen=pen_ng,
+            cmask=fwf.contact_mask, max_pen=max_pen,
         )
 
     def without_candidates(_):
-        dtype = fw.abc.dtype
-        return PairCache(
-            abc_sel=jnp.zeros((k, 3), dtype=dtype),
-            sel_idx=jnp.zeros((k,), dtype=jnp.int32),
-            sel_valid=jnp.zeros((k,), dtype=bool),
+        return RawPairSearch(
+            abc=jnp.zeros((F, 3), dtype=dtype),
+            n_ng=jnp.zeros((F, 3), dtype=dtype),
+            p1_ng=jnp.zeros((F, 3), dtype=dtype),
+            pen=jnp.full((F,), -1.0, dtype=dtype),
+            cmask=jnp.zeros((F,), dtype=bool),
             max_pen=jnp.asarray(-jnp.inf, dtype=dtype),
         )
 
-    cache = jax.lax.cond(jnp.any(fw.cand), with_candidates, without_candidates, None)
+    raw = jax.lax.cond(jnp.any(fw.cand), with_candidates, without_candidates, None)
     # sever: every leaf is already gradient-free data, but consuming cond
     # outputs downstream in a differentiated context otherwise pulls the
     # cond (and its masked-NaN interior arithmetic) onto the transpose path
     # (see CLAUDE.md autodiff landmine #2)
-    return jax.tree_util.tree_map(jax.lax.stop_gradient, cache)
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, raw)
 
 
 def _use_fw_pallas(bd1: BodyDef, bd2: BodyDef, cfg: SimConfig) -> bool:
@@ -235,12 +260,11 @@ def _use_fw_pallas(bd1: BodyDef, bd2: BodyDef, cfg: SimConfig) -> bool:
     return cfg.fw_backend == "pallas" or jax.default_backend() == "tpu"
 
 
-def _search_pair_pallas(
+def _search_pair_raw_pallas(
     bd1: BodyDef, q1, pos1, bd2: BodyDef, q2, pos2, cfg: SimConfig
-) -> PairCache:
-    """Fused-kernel variant of the gradient-free pair search: one Pallas
-    launch (ops/fw_pallas.py) replaces the FW while_loop + finalize +
-    no-grad contact quantities; only the contact filter stays in XLA."""
+) -> RawPairSearch:
+    """Fused-kernel backend: one Pallas launch (ops/fw_pallas.py) replaces
+    the FW while_loop + finalize + no-grad contact quantities."""
     from ..ops import fw_pallas
 
     sg = jax.lax.stop_gradient
@@ -254,31 +278,50 @@ def _search_pair_pallas(
     )
     if bd1.face_valid is not None:
         fv = sg(bd1.face_valid)
-        cand = cand & fv
         cmask = cmask & fv
         max_pen = jnp.max(jnp.where(cmask, pen, -jnp.inf))
+    return RawPairSearch(
+        abc=abc, n_ng=n_ng, p1_ng=p1_ng, pen=pen, cmask=cmask, max_pen=max_pen
+    )
 
+
+def search_pair_raw(
+    bd1: BodyDef, q1, pos1, bd2: BodyDef, q2, pos2, cfg: SimConfig
+) -> RawPairSearch:
+    """One directed pair's gradient-free search phase (no filtering)."""
+    if _use_fw_pallas(bd1, bd2, cfg):
+        return _search_pair_raw_pallas(bd1, q1, pos1, bd2, q2, pos2, cfg)
+    return _search_pair_raw_xla(bd1, q1, pos1, bd2, q2, pos2, cfg)
+
+
+def cache_from_raw(raw: RawPairSearch, cfg: SimConfig) -> PairCache:
+    """Filter a raw search down to K = cfg.max_contacts_per_pair
+    representative candidates (Qhull-replacement clustering). Deferred out
+    of the probe-ladder vmap: only the accepted rung pays it."""
     k = cfg.max_contacts_per_pair
 
     def with_candidates(_):
         sel_idx, sel_valid = filter_contacts(
-            n_ng, p1_ng, cmask, k_out=k, n_clusters=cfg.max_filter_clusters
+            raw.n_ng, raw.p1_ng, raw.cmask, k_out=k,
+            n_clusters=cfg.max_filter_clusters,
         )
         return PairCache(
-            abc_sel=abc[sel_idx], sel_idx=sel_idx, sel_valid=sel_valid,
-            max_pen=max_pen,
+            abc_sel=raw.abc[sel_idx], sel_idx=sel_idx, sel_valid=sel_valid,
+            max_pen=raw.max_pen,
         )
 
     def without_candidates(_):
-        dtype = abc.dtype
+        dtype = raw.abc.dtype
         return PairCache(
             abc_sel=jnp.zeros((k, 3), dtype=dtype),
             sel_idx=jnp.zeros((k,), dtype=jnp.int32),
             sel_valid=jnp.zeros((k,), dtype=bool),
-            max_pen=jnp.asarray(-jnp.inf, dtype=dtype),
+            max_pen=raw.max_pen,
         )
 
-    cache = jax.lax.cond(jnp.any(cand), with_candidates, without_candidates, None)
+    cache = jax.lax.cond(
+        jnp.any(raw.cmask), with_candidates, without_candidates, None
+    )
     return jax.tree_util.tree_map(jax.lax.stop_gradient, cache)
 
 
@@ -292,19 +335,9 @@ def search_contacts_pair(
     cfg: SimConfig,
 ) -> PairCache:
     """One directed pair's gradient-free phase: FW search over all faces,
-    then push/penetration/filtering (see _fw_setup/_finish_pair)."""
-    if _use_fw_pallas(bd1, bd2, cfg):
-        return _search_pair_pallas(bd1, q1, pos1, bd2, q2, pos2, cfg)
-    pqr, query_fn, sg_frames = _fw_setup(bd1, q1, pos1, bd2, q2, pos2)
-    fw = frank_wolfe_multi([pqr], [query_fn], cfg.eps, cfg.tol, cfg.fw_iters)[0]
-    if bd1.face_valid is not None:
-        # marching-mesher bodies: faces of invalid (parked-at-origin)
-        # triangles must never be contact candidates — the zero-vertex
-        # sentinel alone passes the centroid-ball gate whenever the body
-        # origin penetrates the other body (ADVICE r2)
-        fv = jax.lax.stop_gradient(bd1.face_valid)
-        fw = fw._replace(cand=fw.cand & fv, contact_mask=fw.contact_mask & fv)
-    return _finish_pair(bd1, bd2, sg_frames, fw, cfg)
+    then push/penetration/filtering."""
+    raw = search_pair_raw(bd1, q1, pos1, bd2, q2, pos2, cfg)
+    return cache_from_raw(raw, cfg)
 
 
 def find_contacts_pair(
@@ -337,25 +370,36 @@ class ContactCache(NamedTuple):
     max_pen_all: jnp.ndarray  # ()
 
 
-def search_contacts(
+class RawContactSearch(NamedTuple):
+    """Pre-filter search results for ALL directed pairs (probe-ladder
+    intermediate; `finish_contacts` turns the selected rung into a
+    ContactCache)."""
+
+    raws: tuple  # tuple[RawPairSearch]
+    gates: tuple  # tuple[() bool]
+    max_pen_all: jnp.ndarray  # ()
+
+
+def search_contacts_raw(
     bodies: Sequence[BodyDef],
     quat,
     pos,
     directed_pairs: Sequence[DirectedPair],
     cfg: SimConfig,
-) -> ContactCache:
-    """Gradient-free search for all pairs, including the SDF-SDF overlap and
-    direction-2 gating (contacts.py:233-240).
+) -> RawContactSearch:
+    """Gradient-free search for all pairs WITHOUT per-pair filtering,
+    including the SDF-SDF overlap and direction-2 gating
+    (contacts.py:233-240).
 
     The pairs run as independent while_loops (like the reference's per-pair
     calls, contacts.py:233-240): a fused lockstep loop was measured SLOWER
     on TPU because every iteration pays every pair's SDF queries until the
     slowest pair converges, while independent loops exit per pair."""
-    caches, gates = [], []
+    raws, gates = [], []
     pair_pens = {}
     for dp in directed_pairs:
         bd1, bd2 = bodies[dp.b1], bodies[dp.b2]
-        cache = search_contacts_pair(
+        raw = search_pair_raw(
             bd1, quat[dp.b1], pos[dp.b1], bd2, quat[dp.b2], pos[dp.b2], cfg
         )
         gate = jnp.asarray(True)
@@ -363,16 +407,39 @@ def search_contacts(
             gate = _overlap(bd1, quat[dp.b1], pos[dp.b1], bd2, quat[dp.b2], pos[dp.b2])
         if dp.gated:
             gate = gate & (pair_pens[dp.pair_id] <= cfg.tol)
-        max_pen = jnp.where(gate, cache.max_pen, -jnp.inf)
+        max_pen = jnp.where(gate, raw.max_pen, -jnp.inf)
         prev = pair_pens.get(dp.pair_id, -jnp.inf)
         pair_pens[dp.pair_id] = jnp.maximum(prev, max_pen)
-        caches.append(cache)
+        raws.append(raw)
         gates.append(gate)
     if pair_pens:
         max_pen_all = jnp.max(jnp.stack([pair_pens[pid] for pid in sorted(pair_pens)]))
     else:
         max_pen_all = jnp.asarray(-jnp.inf, dtype=quat.dtype)
-    return ContactCache(caches=tuple(caches), gates=tuple(gates), max_pen_all=max_pen_all)
+    return RawContactSearch(raws=tuple(raws), gates=tuple(gates), max_pen_all=max_pen_all)
+
+
+def finish_contacts(raw: RawContactSearch, cfg: SimConfig) -> ContactCache:
+    """Filter each pair's raw search into its PairCache (run on the single
+    ladder rung that was accepted, not on all D trials)."""
+    caches = tuple(cache_from_raw(r, cfg) for r in raw.raws)
+    return ContactCache(
+        caches=caches, gates=raw.gates, max_pen_all=raw.max_pen_all
+    )
+
+
+def search_contacts(
+    bodies: Sequence[BodyDef],
+    quat,
+    pos,
+    directed_pairs: Sequence[DirectedPair],
+    cfg: SimConfig,
+) -> ContactCache:
+    """Gradient-free search for all pairs: raw search + per-pair filtering
+    (see search_contacts_raw / finish_contacts)."""
+    return finish_contacts(
+        search_contacts_raw(bodies, quat, pos, directed_pairs, cfg), cfg
+    )
 
 
 def find_contacts(

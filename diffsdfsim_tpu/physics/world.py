@@ -34,7 +34,14 @@ from ..config import SimConfig, default_dtype
 from ..utils.quaternion import integrate_quat, quat_to_matrix, so3_exp_map
 from ..ops.toc import TocArgs, toc_dt
 from .bodies import BodyDef
-from .contacts import Contacts, DirectedPair, find_contacts, search_contacts
+from .contacts import (
+    Contacts,
+    DirectedPair,
+    find_contacts,
+    finish_contacts,
+    search_contacts,
+    search_contacts_raw,
+)
 from .engine import (
     apply_forces,
     post_stabilization,
@@ -262,14 +269,18 @@ def _probe_ladder(spec: WorldSpec, state: WorldState, dt_frame, thresh):
     q2, p2 = jax.vmap(_integrate, in_axes=(None, None, 0, 0))(
         state.quat, state.pos, nv, dts
     )
-    ccaches = jax.vmap(
-        lambda q, p: search_contacts(spec.bodies, q, p, spec.directed_pairs, cfg)
+    # raw (pre-filter) search over the ladder: only the accepted rung pays
+    # the contact filter, the other D-1 trials only need max_pen
+    rawsearch = jax.vmap(
+        lambda q, p: search_contacts_raw(spec.bodies, q, p, spec.directed_pairs, cfg)
     )(q2, p2)
 
-    ok = ccaches.max_pen_all <= thresh  # (D,)
+    ok = rawsearch.max_pen_all <= thresh  # (D,)
     any_ok = jnp.any(ok)
     k = jnp.where(any_ok, jnp.argmax(ok), cfg.max_bisect).astype(jnp.int32)
-    cc = jax.tree_util.tree_map(lambda x: x[k], ccaches)
+    cc = finish_contacts(
+        jax.tree_util.tree_map(lambda x: x[k], rawsearch), cfg
+    )
     sol_k = jax.tree_util.tree_map(
         lambda x: jax.lax.dynamic_index_in_dim(x, k, 0, keepdims=True), sol
     )

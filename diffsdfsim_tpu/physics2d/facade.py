@@ -121,6 +121,61 @@ def Hull(verts2d, **kw):
     return make_body(shape, template="cube", **kw)
 
 
+@struct.dataclass
+class GridShape2D(ShapeBase):
+    """2D grid-SDF body (reference legacy ``SDFGrid``,
+    sdf_physics/physics/bodies.py:91-283): a (H, W) lattice of normalized
+    signed distances over [-0.5, 0.5]^2, bilinearly interpolated and
+    z-extruded to unit depth. Differentiable w.r.t. the grid values (the
+    reference's DiffSDFGrid role) through the gather-based interpolation."""
+
+    grid: jnp.ndarray  # (H, W) signed distances normalized by scale_
+    scale_: jnp.ndarray
+    coord_scale: jnp.ndarray  # body-normalized -> grid-normalized coords
+
+    def scale(self):
+        return self.scale_
+
+    def sdf(self, pts):
+        from ..ops.marching2d import bilinear_interp
+
+        d2 = bilinear_interp(self.grid, pts[..., :2] * self.coord_scale)
+        qz = jnp.abs(pts[..., 2]) - (_DEPTH / 2.0) / self.scale_
+        q = jnp.stack([d2, qz], axis=-1)
+        return jnp.sqrt(
+            jnp.maximum(jnp.sum(jnp.maximum(q, 0.0) ** 2, axis=-1), 1e-24)
+        ) + jnp.minimum(jnp.max(q, axis=-1), 0.0)
+
+
+def GridSDF2D(grid, scale, **kw):
+    """Body from a 2D SDF grid sampled on the reference's node lattice:
+    `grid` (H, W) holds signed distances in world units over the
+    [-scale/2, scale/2]^2 square. Surface mesh comes from the framework's
+    template projection onto the interpolated field (the reference instead
+    runs marching squares — available as ops.marching2d.marching_squares
+    for contour extraction/visualization)."""
+    dtype = default_dtype()
+    g = jnp.asarray(grid, dtype=dtype)
+    scale = jnp.asarray(scale, dtype=dtype)
+    # body frame must also cover the unit extrusion depth; grid coordinates
+    # keep their own span (coord_scale maps between the two)
+    eff_scale = jnp.maximum(scale, _DEPTH) * 1.01
+    shape = GridShape2D(
+        grid=g / eff_scale, scale_=eff_scale, coord_scale=eff_scale / scale
+    )
+    return make_body(shape, template="cube", **kw)
+
+
+def contour_2d(grid, scale):
+    """Marching-squares iso-contour of a world-units 2D SDF grid: masked
+    fixed-size segments in world coordinates (reference
+    SDFGrid.marching_squares, bodies.py:117-196)."""
+    from ..ops.marching2d import marching_squares
+
+    segs, valid = marching_squares(jnp.asarray(grid, dtype=default_dtype()))
+    return segs * scale, valid
+
+
 @dataclasses.dataclass(frozen=True)
 class RevoluteJoint2D(JointBase):
     """Planar hinge (reference 2D Joint, physics/constraints.py:35-75):

@@ -20,7 +20,8 @@ from diffsdfsim_tpu.physics import (
     make_body,
 )
 from diffsdfsim_tpu.physics.contacts import (
-    _search_pair_pallas,
+    _search_pair_raw_pallas,
+    cache_from_raw,
     find_contacts_pair,
     search_contacts_pair,
 )
@@ -66,7 +67,7 @@ def test_pair_search_parity(case):
     cfg_p = _cfg(fw_backend="pallas")
 
     ref = search_contacts_pair(bd1, q1, p1, bd2, q2, p2, cfg_x)
-    out = _search_pair_pallas(bd1, q1, p1, bd2, q2, p2, cfg_p)
+    out = cache_from_raw(_search_pair_raw_pallas(bd1, q1, p1, bd2, q2, p2, cfg_p), cfg_p)
 
     # acceptance-critical scalar
     if np.isfinite(float(ref.max_pen)) or np.isfinite(float(out.max_pen)):
