@@ -111,7 +111,12 @@ def main():
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
 
-    loss_fn = _build({})
+    # batched mode: the rung-0 ladder cond pays both branches per lane under
+    # vmap — use the whole-batch custom_vmap gate instead (this world's
+    # forces are plain Gravity, so the gate's closure constraint holds)
+    loss_fn = _build(
+        {"ladder_fast_path": False, "ladder_batch_gate": True} if batch else {}
+    )
 
     if batch:
         # production-scale mode: vmap the whole fwd+bwd rollout over a seed

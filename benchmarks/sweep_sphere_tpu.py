@@ -1,6 +1,8 @@
 """50-seed sphere-radius sweeps on TPU (RESULTS_TPU.md tables).
 
-Run from the repo root: python benchmarks/sweep_sphere_tpu.py
+Run from the repo root:
+    python benchmarks/sweep_sphere_tpu.py [cfg ...] [k=v ...]
+e.g. python benchmarks/sweep_sphere_tpu.py g1_t0 mesh_subdiv=3 out=sweeps_r3
 
 Why this shape: one jitted gd_step per CONFIG, reused across seed chunks of
 10 — a single 50-lane vmapped rollout+grad graph hangs the remote XLA
@@ -8,35 +10,75 @@ compiler, per-chunk processes re-pay the ~20 min compile (the persistent
 cache does not intercept the axon plugin's AOT path), and re-created jit
 closures miss the in-process cache. Chunked keys through one jit object is
 the only arrangement that compiles once and runs 50 seeds.
+
+Early stop matches the reference (optim_sphere.py:272-276): break when
+|last_loss - loss| < conv_thresh BEFORE applying the step — per-lane frozen
+(rad, opt_state) under vmap. Load-bearing for the no-TOC ablations, whose
+staircase loss otherwise keeps GD wandering after convergence.
 """
 import sys, time, pickle
 from pathlib import Path
-import jax, jax.numpy as jnp, numpy as np
+
+import jax
+
+if "cpu_x64=1" in sys.argv[1:]:
+    # reference-precision ablation mode (VERDICT r2 weak #3): f64 + tol=1e-8
+    # on CPU, same sweep protocol. Must run before backend init — the axon
+    # plugin ignores JAX_PLATFORMS (CLAUDE.md).
+    sys.argv.remove("cpu_x64=1")
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp, numpy as np
 import optax
 from diffsdfsim_tpu.experiments.optim_sphere import (DEFAULTS, build_cfg, make_loss,
                                                      sample_params)
 
-OUT = Path("outputs/sweeps_r2c"); OUT.mkdir(parents=True, exist_ok=True)
-CONFIGS = [
-    ("g1_t0", dict(use_gravity=True, use_toc_diff=False)),
-    ("g1_t1", dict(use_gravity=True, use_toc_diff=True)),
-    ("g0_t1", dict(use_gravity=False, use_toc_diff=True)),
-    ("g0_t0", dict(use_gravity=False, use_toc_diff=False)),
-]
+ALL_CONFIGS = {
+    "g1_t0": dict(use_gravity=True, use_toc_diff=False),
+    "g1_t1": dict(use_gravity=True, use_toc_diff=True),
+    "g0_t1": dict(use_gravity=False, use_toc_diff=True),
+    "g0_t0": dict(use_gravity=False, use_toc_diff=False),
+}
+
+names, overrides, outdir = [], {}, "sweeps_r2c"
+for a in sys.argv[1:]:
+    if "=" in a:
+        k, v = a.split("=", 1)
+        if k == "out":
+            outdir = v
+        else:
+            overrides[k] = type(DEFAULTS.get(k, ""))(v) if k in DEFAULTS else int(v)
+    else:
+        names.append(a)
+names = names or list(ALL_CONFIGS)
+
+OUT = Path("outputs") / outdir
+OUT.mkdir(parents=True, exist_ok=True)
 N_CHUNKS, CHUNK = 5, 10
-for tag, over in CONFIGS:
-    c = dict(DEFAULTS); c.update(over)
+for tag in names:
+    c = dict(DEFAULTS)
+    c.update(ALL_CONFIGS[tag])
+    c.update(overrides)
+    c["n_par"] = CHUNK  # vmapped seed batch: disables the rung-0 cond
     cfg = build_cfg(c)
     target_traj_fn, loss_fn = make_loss(c, cfg)
     tgt_j = jax.jit(jax.vmap(target_traj_fn))
     opt = optax.sgd(c["lr"]) if c["optimizer"] == "GD" else optax.adam(c["lr"])
     lo, hi = c["min_dim"], c["max_dim"]
+    thresh = c["conv_thresh"]
 
     @jax.jit
-    def gd_step(rad, opt_state, tgt):
+    def gd_step(rad, opt_state, last, done, tgt):
         val, g = jax.vmap(jax.value_and_grad(loss_fn))(rad, tgt)
-        upd, opt_state = opt.update(g, opt_state)
-        return jnp.clip(rad + upd, lo, hi), opt_state, val
+        done = done | (jnp.abs(last - val) < thresh)
+        upd, new_opt_state = opt.update(g, opt_state)
+        new_rad = jnp.clip(rad + upd, lo, hi)
+        rad = jnp.where(done, rad, new_rad)
+        opt_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(done, a, b), opt_state, new_opt_state
+        )
+        return rad, opt_state, val, done
 
     all_err = []
     for chunk in range(N_CHUNKS):
@@ -46,8 +88,12 @@ for tag, over in CONFIGS:
         tgt = tgt_j(target_rad)
         rad = start_rad
         opt_state = opt.init(rad)
+        last = jnp.full_like(rad, 1e10)
+        done = jnp.zeros(rad.shape, dtype=bool)
         for _ in range(c["max_iter"]):
-            rad, opt_state, val = gd_step(rad, opt_state, tgt)
+            rad, opt_state, last, done = gd_step(rad, opt_state, last, done, tgt)
+            if bool(jnp.all(done)):
+                break
         err = np.abs(np.asarray(rad) - np.asarray(target_rad))
         all_err.append(err)
         print(f"{tag} chunk {chunk}: {time.time()-t0:.0f}s "

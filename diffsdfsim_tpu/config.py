@@ -100,6 +100,20 @@ class SimConfig:
     fw_backend: str = "auto"
     # stepping (fixed-shape bounds for data-dependent control flow)
     max_bisect: int = 10  # reference dt floor dt/2**10, world.py:345
+    # probe rung 0 (the full frame dt) first and run the rest of the
+    # bisection ladder only on rejection (lax.cond). Most substeps accept
+    # rung 0, skipping ~max_bisect/(max_bisect+1) of the probe cost. Under
+    # vmap a cond executes both branches per lane, so BATCHED sweep drivers
+    # must set this False (bench --batch / run_sweep_hostloop do).
+    ladder_fast_path: bool = True
+    # whole-batch rung-0 gate for VMAPPED rollouts (world._probe_ladder_gated):
+    # a custom_vmap probes rung 0 for all lanes together and runs the full
+    # ladder only if any lane rejects. Opt-in because joints/forces stay in
+    # the closure: only valid when they hold no per-lane traced parameters
+    # (bodies/state are passed explicitly and batch correctly). Gravity +
+    # constraint worlds (optim_sphere/shapespace/pointcloud, bench) qualify;
+    # sysid's per-lane Push force does NOT.
+    ladder_batch_gate: bool = False
     max_substeps: int = 8  # substeps per fixed-dt frame (scan bound)
     # rematerialize each frame in the rollout backward (jax.checkpoint):
     # trades recomputing the frame forward for not saving its residuals —

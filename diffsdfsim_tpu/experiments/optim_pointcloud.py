@@ -50,6 +50,13 @@ DEFAULTS = dict(
     noise_factor=0.002,
     frame_fit_iters=60,
     traj_fit_iters=40,
+    # reference two-threshold convergence break (optim_pointcloud.py:515,
+    # 644): |d loss| < conv_thresh AND |d size| < conv_thresh_shape BEFORE
+    # the step. Load-bearing: without it the unobservable rotation of a
+    # sphere wanders along the near-flat friction-coupling direction for the
+    # full budget, dragging the position fit with it (VERDICT r2 weak #4)
+    conv_thresh=1e-5,
+    conv_thresh_shape=1e-3,
     lr_pose=1e-2,
     lr_size=1e-2,
     width=128,
@@ -185,6 +192,8 @@ def main(argv=None):
     cam, cam_pose = camera_setup(c)
     obs = observe(c, cfg, spec_t, jax.tree_util.tree_map(jax.lax.stop_gradient, traj_t), cam, cam_pose, k3)
     seg_masks = [(seg == 1) for (_, _, seg) in obs]
+    conv_thresh = c["conv_thresh"]
+    conv_thresh_shape = c["conv_thresh_shape"]
 
     # ---- phase 1: first-frame fit ----
     # honest init (reference :381-397): the optimized rotation is a FREE
@@ -220,11 +229,21 @@ def main(argv=None):
     opt = optax.adam(c["lr_pose"])
     opt_state = opt.init(params)
     vg1 = jax.jit(jax.value_and_grad(frame_loss))
+    last_loss, last_size = 1e10, 1e10
     for i in range(c["frame_fit_iters"]):
         val, g = vg1(params)
+        run.log_scalar("frame_fit_loss", float(val), i)
+        if not jnp.isfinite(val):
+            # diverged: keep the last finite iterate (reference seeds hit
+            # this too; its 50-seed protocol averages over failures)
+            run.log_scalar("frame_fit_nan_at", i)
+            break
+        if (abs(last_loss - float(val)) < conv_thresh
+                and abs(last_size - float(params[2])) < conv_thresh_shape):
+            break
+        last_loss, last_size = float(val), float(params[2])
         upd, opt_state = opt.update(g, opt_state)
         params = _renorm(jax.tree_util.tree_map(lambda p, u: p + u, params, upd))
-        run.log_scalar("frame_fit_loss", float(val), i)
 
     pos1, quat1, size1 = params
 
@@ -248,11 +267,19 @@ def main(argv=None):
     opt2 = optax.adam(c["lr_size"])
     opt_state = opt2.init(params)
     vg2 = jax.jit(jax.value_and_grad(traj_loss))
+    last_loss, last_size = 1e10, 1e10
     for i in range(c["traj_fit_iters"]):
         val, g = vg2(params)
+        run.log_scalar("traj_fit_loss", float(val), i)
+        if not jnp.isfinite(val):
+            run.log_scalar("traj_fit_nan_at", i)
+            break
+        if (abs(last_loss - float(val)) < conv_thresh
+                and abs(last_size - float(params[2])) < conv_thresh_shape):
+            break
+        last_loss, last_size = float(val), float(params[2])
         upd, opt_state = opt2.update(g, opt_state)
         params = _renorm(jax.tree_util.tree_map(lambda p, u: p + u, params, upd))
-        run.log_scalar("traj_fit_loss", float(val), i)
 
     pos2, quat2, size2 = params
     pe1, re1, se1 = _errors(pos1, quat1, size1)

@@ -63,6 +63,8 @@ def build_cfg(c) -> SimConfig:
         max_bisect=4,
         tol=1e-5 if f32 else 1e-8,
         time_of_contact_diff=False,  # reference default for this experiment
+        # seed-batched sweeps vmap the rollout (see SimConfig.ladder_fast_path)
+        ladder_fast_path=c.get("n_par", 1) <= 1,
     )
 
 

@@ -50,7 +50,7 @@ DEFAULTS = dict(
     model_path="",
     latent_path="",
     trained_space=False,
-    space_cache="outputs/igr_tiny_space.pkl",
+    space_cache="outputs/igr_space4.pkl",
     n_par=1,
     base_dir="outputs",
 )
@@ -67,6 +67,10 @@ def build_cfg(c) -> SimConfig:
         max_bisect=6,
         tol=1e-5 if f32 else 1e-8,
         time_of_contact_diff=True,
+        # seed-batched sweeps vmap the rollout; forces are plain Gravity so
+        # the whole-batch gate is safe (see SimConfig.ladder_batch_gate)
+        ladder_fast_path=c.get("n_par", 1) <= 1,
+        ladder_batch_gate=c.get("n_par", 1) > 1,
     )
 
 
@@ -75,14 +79,17 @@ def load_decoder(c):
         params, codes = load_torch_checkpoint(c["model_path"], c["latent_path"])
         return make_decoder(params), codes
     if c.get("trained_space"):
-        # in-repo-trained tiny shape space (sphere + box codes): genuinely
-        # distinct decoded shapes for full-scale validation
+        # in-repo-trained shape space (sphere/box/cylinder/torus codes):
+        # genuinely distinct decoded shapes for full-scale validation
         # (models/igr_train.py; replaces the reference's external
-        # bob_and_spot checkpoint)
+        # bob_and_spot checkpoint). Net dims follow the reference's
+        # bob_spot_setup.conf ([128]*8, skip at 4) when the cache is
+        # (re)trained.
         from ..models.igr_train import load_or_train
 
         params, codes = load_or_train(
-            str(c.get("space_cache", "outputs/igr_tiny_space.pkl"))
+            str(c.get("space_cache", "outputs/igr_space4.pkl")),
+            dims=(128,) * 8, n_steps=2500,
         )
         return make_decoder(params), codes
     params = init_implicit_net(

@@ -59,7 +59,7 @@ DEFAULTS = dict(
     model_path="",
     latent_path="",
     trained_space=False,
-    space_cache="outputs/igr_tiny_space.pkl",
+    space_cache="outputs/igr_space4.pkl",
     n_par=1,
     base_dir="outputs",
 )
@@ -77,6 +77,8 @@ def build_cfg(c) -> SimConfig:
         max_bisect=2,
         tol=1e-5 if f32 else 1e-8,
         time_of_contact_diff=False,
+        # seed-batched sweeps vmap the rollout (see SimConfig.ladder_fast_path)
+        ladder_fast_path=c.get("n_par", 1) <= 1,
     )
 
 

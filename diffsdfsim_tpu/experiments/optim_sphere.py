@@ -69,6 +69,11 @@ def build_cfg(c) -> SimConfig:
         max_bisect=8,
         tol=1e-5 if f32 else 1e-8,
         time_of_contact_diff=c["use_toc_diff"],
+        # seed-batched sweeps vmap the rollout: the rung-0 cond would pay
+        # both branches per lane there; use the whole-batch custom_vmap gate
+        # instead (forces here are plain Gravity — no per-lane tracers)
+        ladder_fast_path=c.get("n_par", 1) <= 1,
+        ladder_batch_gate=c.get("n_par", 1) > 1,
     )
 
 
@@ -128,7 +133,12 @@ def make_loss(c, cfg):
     idx = sphere_index(c)
 
     def target_traj(target_rad):
-        _, traj, _, _ = simulate(target_rad, c, cfg)
+        # the reference target world runs WITHOUT detach_2nd_bounce
+        # (run_world_fixed_dt default, optim_sphere.py:163/249) — detach is
+        # a pure gradient-tape operation so values match either way, but
+        # skipping it avoids the re-run frame in vmapped sweeps
+        ct = dict(c, detach_2nd_bounce=False)
+        _, traj, _, _ = simulate(target_rad, ct, cfg)
         return jax.lax.stop_gradient(traj)
 
     def loss_fn(rad, tgt_traj):

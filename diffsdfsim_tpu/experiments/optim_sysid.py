@@ -67,6 +67,8 @@ def build_cfg(c) -> SimConfig:
         strict_no_penetration=False,
         time_of_contact_diff=False,
         stop_contact_grad=False,
+        # seed-batched sweeps vmap the rollout (see SimConfig.ladder_fast_path)
+        ladder_fast_path=c.get("n_par", 1) <= 1,
     )
 
 

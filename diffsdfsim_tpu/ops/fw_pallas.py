@@ -56,6 +56,9 @@ KIND_BRICK = 4
 _NPARAMS = 4  # packed param slots per shape
 NCONST = 32  # packed lane-constant block: R1(9) R2(9) d21(3) s1 s2 _ _ _ p1(4) p2(4)... see _pack_consts
 
+# test/bench hook: force the batch-block width regardless of the VMEM model
+_FORCED_BLOCK = None
+
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
@@ -382,8 +385,19 @@ def _fw_pallas_flat(pqr, consts, kind1, kind2, F_real, iters, eps, tol, interpre
     # stack is ~80 (bb, F) f32 planes per lane (inputs+outputs+temporaries;
     # a 144-lane block at Fp=384 allocated 42.7MB); budget 4MB against the
     # 16MB limit to leave room for XLA's own scoped use.
-    per_lane = Fp * 80 * 4
-    block_b = max(8, min(_round_up(B, 8), (4_000_000 // per_lane) // 8 * 8))
+    # measured footprint: a (40, 9, 768) launch allocated a 20.59MB scoped
+    # stack = ~167 live (bb, F) f32 planes per lane (inputs + outputs +
+    # the FW loop's temporaries' live-range union)
+    per_lane = Fp * 170 * 4
+    # grid steps are SERIAL: at seed-batch x probe-ladder scale the block
+    # count is the throughput wall (18 sequential half-idle blocks for a
+    # 16-seed x 9-rung ladder at block 16), so budget most of the 16MB
+    # scoped VMEM for lanes
+    # hard cap 32: wider blocks (56 lanes at Fp=384) crash the Mosaic
+    # compile even when the VMEM estimate fits
+    block_b = max(8, min(_round_up(B, 8), 32, (15_000_000 // per_lane) // 8 * 8))
+    if _FORCED_BLOCK is not None:  # benchmarking override
+        block_b = _FORCED_BLOCK
     Bp = _round_up(max(B, block_b), block_b)
 
     def padb(x):

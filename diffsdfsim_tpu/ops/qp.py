@@ -565,6 +565,54 @@ def lcp_residuals(Q, p, G, h, A, b, F, sol):
     return pri + jnp.linalg.norm(rx, axis=-1) + nineq * mu
 
 
+def escalated_resolve(
+    Q, p, G, h, A, b, F, invQ, sol,
+    *, backend, iters_hi, eps, thresh, structure, interpret=False,
+):
+    """Runtime accuracy fallback, batch-scaling safe: re-solve the batch
+    with escalated iterations iff any residual exceeds `thresh`.
+
+    A plain lax.cond around the re-solve executes BOTH branches for every
+    lane once the caller is vmapped (seed sweeps, bench --batch), turning
+    the safety net into an unconditional ~2x solver cost. This wrapper is a
+    custom_vmap: mapped lanes are flattened into the solver batch (the same
+    trick as qp_pallas._make_batched_impl), so at any nesting depth there is
+    exactly ONE top-level cond over the whole flattened batch — the common
+    all-accurate case pays only the residual evaluation."""
+
+    @jax.custom_batching.custom_vmap
+    def impl(Q, p, G, h, A, b, F, invQ, x, y, z, s):
+        args = (Q, p, G, h, A, b, F)
+        cur = (x, y, z, s)
+        resids = lcp_residuals(*args, cur)
+        bad = jnp.max(resids) > thresh
+
+        def redo(_):
+            if backend == "pallas":
+                from .qp_pallas import pdipm_pallas
+
+                return pdipm_pallas(
+                    *args, max_iter=iters_hi, eps=eps, interpret=interpret,
+                    invQ=invQ,
+                )
+            return pdipm_solve_raw(*args, iters_hi, eps, 6, structure)
+
+        return jax.lax.cond(bad, redo, lambda _: cur, None)
+
+    @impl.def_vmap
+    def _vmap_rule(axis_size, in_batched, *xs):
+        flat = []
+        for x, batched in zip(xs, in_batched):
+            if not batched:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            flat.append(x.reshape((-1,) + x.shape[2:]))
+        out = impl(*flat)
+        out = tuple(o.reshape((axis_size, -1) + o.shape[1:]) for o in out)
+        return out, (True, True, True, True)
+
+    return impl(Q, p, G, h, A, b, F, invQ, *sol)
+
+
 def pdipm_solve_checked(
     Q, p, G, h, A, b, F,
     max_iter=10, eps=1e-12, not_improved_lim=3, structure=None,

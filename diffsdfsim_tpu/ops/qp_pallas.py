@@ -54,8 +54,14 @@ def _mtv(M, v):
     return jnp.sum(M * v[:, :, None], axis=1)
 
 
-def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim):
-    """Build the kernel function with static sizes closed over."""
+def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim,
+                 unroll=True):
+    """Build the kernel function with static sizes closed over.
+
+    `unroll`: fully unroll the GJ + Mehrotra loops (fastest per step but
+    Mosaic compile time explodes with block width — a block_b=16 unrolled
+    kernel took 4 min to compile, block_b=32 >18 min; wide blocks use the
+    fori_loop variant, which compiles in ~2 s)."""
     m = neq + nineq
 
     def kernel(
@@ -114,7 +120,7 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim):
             def safe_pv(pv):
                 return jnp.where(jnp.abs(pv) < tiny, tiny, pv)
 
-            if m <= 64:
+            if unroll and m <= 64:
                 # small systems: fully unrolled with static indexing — ~20%
                 # faster per step and fits VMEM comfortably
                 for kk in range(m):
@@ -258,7 +264,7 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim):
             jnp.zeros((bb, 1), dtype=dtype),
             jnp.zeros((bb, 1), dtype=dtype),
         )
-        if m <= 64:
+        if unroll and m <= 64:
             for it in range(max_iter):
                 carry = body(it, carry)
         else:
@@ -306,6 +312,19 @@ def _pdipm_pallas_flat(
         .set(F)
     )
 
+    # block sizing: grid steps run SERIALLY on the TensorCore while each
+    # Mehrotra iteration's per-lane work is latency-bound, so packing more
+    # problems per block converts idle VPU lanes into throughput (measured:
+    # the B=16 seed-batch ladder at block_b=8 spends ~90% of its time in
+    # sequential half-empty grid steps). VMEM per problem is dominated by
+    # the (m, 2m) GJ augmented matrix plus a handful of (m, m)/(nz, nz)
+    # planes; cap the block so a block's working set stays ~8MB.
+    if block_b is None:
+        m_rows = neq + nineq
+        per_lane = 4 * (2 * m_rows * m_rows + 4 * m_rows * m_rows + 3 * nz * nz)
+        cap = max(8, min(32, (8_000_000 // max(per_lane, 1)) // 8 * 8))
+        block_b = min(_round_up(B, 8), cap)
+
     # pad batch to a multiple of block_b by edge replication (independent
     # lanes; padded results are dropped)
     Bp = _round_up(max(B, block_b), block_b)
@@ -319,7 +338,10 @@ def _pdipm_pallas_flat(
         padb, (Q, invQ, base, G, A, F, p, h, b)
     )
 
-    kernel = _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim)
+    kernel = _make_kernel(
+        nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim,
+        unroll=block_b <= 8,
+    )
 
     grid = (Bp // block_b,)
     mat = lambda r, c: pl.BlockSpec(
@@ -410,7 +432,7 @@ def _pdipm_pallas_jvp(
 def pdipm_pallas(
     Q, p, G, h, A, b, F,
     max_iter=10, eps=1e-6, not_improved_lim=3,
-    block_b=8, interpret=False, invQ=None,
+    block_b=None, interpret=False, invQ=None,
 ):
     """Batched PDIPM forward (x, y, z, s) — Pallas TPU kernel.
 
@@ -438,7 +460,7 @@ def pdipm_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_grad_kernel(nz, neq, nineq, neq_real):
+def _make_grad_kernel(nz, neq, nineq, neq_real, unroll=True):
     """KKT solve with rhs (dl_dzhat, 0, 0, 0) — the only linear-algebra work
     in the LCP backward. Same GJ machinery as the forward kernel."""
     m = neq + nineq
@@ -475,7 +497,7 @@ def _make_grad_kernel(nz, neq, nineq, neq_real):
         def safe_pv(pv):
             return jnp.where(jnp.abs(pv) < tiny, tiny, pv)
 
-        if m <= 64:
+        if unroll and m <= 64:
             for kk in range(m):
                 piv = aug[:, kk, :] / safe_pv(aug[:, kk, kk][:, None])
                 elim = aug - aug[:, :, kk][:, :, None] * piv[:, None, :]
@@ -515,6 +537,13 @@ def _kkt_grad_flat(invQ, base, G, A, Ffull, d, rx, block_b, interpret):
     neq = m - nineq
     dtype = rx.dtype
 
+    if block_b is None:
+        # same grid-serialization economics as the forward kernel: one KKT
+        # solve per lane is latency-bound, pack blocks as wide as VMEM allows
+        per_lane = 4 * (2 * m * m + 4 * m * m + 3 * nz * nz)
+        cap = max(8, min(32, (8_000_000 // max(per_lane, 1)) // 8 * 8))
+        block_b = min(_round_up(B, 8), cap)
+
     Bp = _round_up(max(B, block_b), block_b)
 
     def padb(x):
@@ -525,7 +554,7 @@ def _kkt_grad_flat(invQ, base, G, A, Ffull, d, rx, block_b, interpret):
         )
 
     args = tuple(map(padb, (invQ, base, G, A, Ffull, d, rx)))
-    kernel = _make_grad_kernel(nz, neq, nineq, neq)
+    kernel = _make_grad_kernel(nz, neq, nineq, neq, unroll=block_b <= 8)
 
     mat = lambda r, c: pl.BlockSpec(
         (block_b, r, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -552,7 +581,7 @@ def _kkt_grad_flat(invQ, base, G, A, Ffull, d, rx, block_b, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def kkt_grad_pallas(invQ, G, A, F, d, rx, block_b=8, interpret=False):
+def kkt_grad_pallas(invQ, G, A, F, d, rx, block_b=None, interpret=False):
     """Solve the backward KKT system (reference lcp.py:184-198: rhs =
     (dl_dzhat, 0, 0, 0)) for a batch, entirely in one kernel launch.
 

@@ -411,35 +411,32 @@ def probe_dynamics_batch(bodies, joints, forces, state, contacts: Contacts, dts,
         backend = cfg.solver_backend
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        interpret = jax.default_backend() != "tpu"
+        Minv = mass_matrix_inv(bodies, state.quat)
+        invQ = jnp.broadcast_to(Minv, (D,) + Minv.shape)
         if backend == "pallas":
             from ..ops.qp_pallas import pdipm_pallas
 
-            Minv = mass_matrix_inv(bodies, state.quat)
-
-            def run_solver(iters):
-                return pdipm_pallas(
-                    *args, max_iter=iters, eps=eps,
-                    interpret=jax.default_backend() != "tpu",
-                    invQ=jnp.broadcast_to(Minv, (D,) + Minv.shape),
-                )
+            sol = pdipm_pallas(
+                *args, max_iter=cfg.solver_max_iter, eps=eps,
+                interpret=interpret, invQ=invQ,
+            )
         else:
-
-            def run_solver(iters):
-                return pdipm_solve_raw(*args, iters, eps, 3, ("fric", k, fd))
-
-        sol = run_solver(cfg.solver_max_iter)
+            sol = pdipm_solve_raw(
+                *args, cfg.solver_max_iter, eps, 3, ("fric", k, fd)
+            )
         if cfg.solver_fallback:
             # runtime accuracy fallback (reference INACC_ERR escape hatch):
-            # re-solve the batch with escalated iterations when triggered
-            from ..ops.qp import lcp_residuals
+            # re-solve with escalated iterations when triggered. custom_vmap
+            # wrapper: under a seed-batch vmap a plain cond would run the
+            # escalated solve unconditionally for every lane
+            from ..ops.qp import escalated_resolve
 
-            resids = lcp_residuals(*args, sol)
-            bad = jnp.max(resids) > cfg.solver_fallback_thresh
-            sol = jax.lax.cond(
-                bad,
-                lambda _: run_solver(cfg.solver_fallback_iters),
-                lambda _: sol,
-                None,
+            sol = escalated_resolve(
+                *args, invQ, sol,
+                backend=backend, iters_hi=cfg.solver_fallback_iters, eps=eps,
+                thresh=cfg.solver_fallback_thresh,
+                structure=("fric", k, fd), interpret=interpret,
             )
         x, y, z, s = sol
         return -x[:, :n], (x, y, z, s)
