@@ -19,6 +19,8 @@ staircase loss otherwise keeps GD wandering after convergence.
 import sys, time, pickle
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import jax
 
 if "cpu_x64=1" in sys.argv[1:]:
