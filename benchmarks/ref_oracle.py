@@ -254,10 +254,16 @@ def _install_stubs(mc_res=33):
                     ].transpose(0, 1)
         return out[:, 0] if scalar else out
 
+    _mt_jit_cache = {}
+
     def marching_cubes(sdfs, level):
         """verts in index coordinates + faces, via the repo's marching-tets
         op on CPU jax (topology only; the reference wraps this in its own
-        MeshSDF autograd Function, so no gradient is needed here)."""
+        MeshSDF autograd Function, so no gradient is needed here).
+
+        The jitted op is memoized at module scope: a fresh jax.jit wrapper
+        per call misses the in-process cache and re-pays the full compile on
+        EVERY reference world rebuild (~10 s x 100 GD iters)."""
         import jax
 
         if jax.default_backend() != "cpu":  # pragma: no cover
@@ -266,8 +272,11 @@ def _install_stubs(mc_res=33):
 
         import jax.numpy as jnp
 
+        if "fn" not in _mt_jit_cache:
+            _mt_jit_cache["fn"] = jax.jit(marching_tets)
+
         g = jnp.asarray(np.asarray(sdfs.detach().cpu(), dtype=np.float64))
-        tri, valid = jax.jit(marching_tets, static_argnums=())(g - float(level))
+        tri, valid = _mt_jit_cache["fn"](g - float(level))
         tri = np.asarray(tri)[np.asarray(valid)]  # (T,3,3) index coords
         verts = torch.as_tensor(
             tri.reshape(-1, 3), dtype=sdfs.dtype, device=sdfs.device
