@@ -56,14 +56,14 @@ def _build(dtype_cfg):
         **dtype_cfg,
     )
 
-    def loss_fn(rad):
+    def world_fn(rad):
         floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0])), subdiv=3, fric_coeff=0.25)
         sphere = make_body(SphereShape(rad), subdiv=2, fric_coeff=0.25)
         poses = jnp.array(
             [[1.0, 0, 0, 0, 0.0, -0.5, 0.0], [1.0, 0, 0, 0, 0.0, DROP, 0.0]]
         )
         vels = jnp.zeros((2, 6))
-        spec, state = make_world(
+        return make_world(
             [floor, sphere],
             poses,
             vels,
@@ -71,10 +71,22 @@ def _build(dtype_cfg):
             forces=((), (Gravity3D(10.0),)),
             cfg=cfg,
         )
+
+    def loss_fn(rad):
+        spec, state = world_fn(rad)
         final, traj = rollout(spec, state, n_frames=N_FRAMES)
         return jnp.sum(traj.pos[:, :, 1, :] ** 2 * traj.valid[:, :, None])
 
-    return loss_fn
+    def batch_loss_fn(rads):
+        """Batched-native SPMD rollout (physics/batched.py): per-lane losses
+        summed — lanes are independent, so grad wrt rads is per-lane."""
+        from diffsdfsim_tpu.physics import make_world_batched, rollout_batched
+
+        spec, bodies_b, state_b = make_world_batched(world_fn, rads)
+        final, traj = rollout_batched(spec, bodies_b, state_b, N_FRAMES)
+        return jnp.sum(traj.pos[:, :, :, 1, :] ** 2 * traj.valid[..., None])
+
+    return loss_fn, batch_loss_fn
 
 
 def _marginal_cost(run_one, run_many, n_big, k=3):
@@ -111,17 +123,14 @@ def main():
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
 
-    # batched mode: the rung-0 ladder cond pays both branches per lane under
-    # vmap — use the whole-batch custom_vmap gate instead (this world's
-    # forces are plain Gravity, so the gate's closure constraint holds)
-    loss_fn = _build(
-        {"ladder_fast_path": False, "ladder_batch_gate": True} if batch else {}
-    )
+    loss_fn, batch_loss_fn = _build({})
 
     if batch:
-        # production-scale mode: vmap the whole fwd+bwd rollout over a seed
-        # batch (the reference runs these as N separate processes).
-        grad_fn = jax.jit(jax.vmap(jax.value_and_grad(loss_fn)))
+        # production-scale mode: the batched-native SPMD rollout
+        # (physics/batched.py) carries the seed batch as an explicit axis —
+        # whole-batch conds skip inactive substeps and the bisection ladder
+        # (the reference runs these as N separate processes).
+        grad_fn = jax.jit(jax.value_and_grad(batch_loss_fn))
         rads = jnp.linspace(0.42, 0.58, batch)
         for w in range(3):
             val, g = grad_fn(rads + 1e-5 * w)

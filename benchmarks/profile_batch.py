@@ -52,14 +52,20 @@ def bstate(state, B):
         lambda x: jnp.tile(x[None], (B,) + (1,) * x.ndim), state)
 
 
+def _fetch(r):
+    # the axon tunnel's block_until_ready is a no-op on proxies; only
+    # fetching a value synchronizes (see bench.py measurement note)
+    import numpy as np
+
+    return float(np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[0])
+
+
 def timeit(run, arg, n=3):
-    r = run(arg)
-    jax.block_until_ready(r)
+    _fetch(run(arg))
     ts = []
     for _ in range(n):
         t0 = time.time()
-        r = run(arg)
-        jax.block_until_ready(r)
+        _fetch(run(arg))
         ts.append(time.time() - t0)
     return min(ts)
 
@@ -80,40 +86,70 @@ def perframe(body, st, k1=8, k2=32):
 
 MODES = (
     ("fast", dict()),  # default: rung-0 lax.cond (single-rollout mode)
-    ("nofast", dict(ladder_fast_path=False)),
     ("gate", dict(ladder_fast_path=False, ladder_batch_gate=True)),
 )
 
-# ---- forward ----
+
+def make_builder(**kw):
+    cfg = SimConfig(**{**BASE, **kw})
+
+    def build(rad):
+        floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0])), subdiv=3,
+                          fric_coeff=0.25)
+        sphere = make_body(SphereShape(rad), subdiv=2, fric_coeff=0.25)
+        poses = jnp.array([[1.0, 0, 0, 0, 0.0, -0.5, 0.0],
+                           [1.0, 0, 0, 0, 0.0, 0.4999, 0.0]])
+        return make_world([floor, sphere], poses, jnp.zeros((2, 6)),
+                          joints=(TotalConstraint3D(body1=0),),
+                          forces=((), (Gravity3D(10.0),)), cfg=cfg)
+
+    return build
+
+
+# ---- forward (vmap path) ----
 for tag, kw in MODES:
     spec, state0 = make(jnp.asarray(0.5), **kw)
     per = perframe(lambda st: step_frame(spec, st)[0], state0)
-    print(f"fwd  B=1  [{tag:6s}]: {per*1e6:8.0f} us/frame", flush=True)
+    print(f"fwd  B=1  [{tag:7s}]: {per*1e6:8.0f} us/frame", flush=True)
     if tag == "fast":
         continue  # per-lane cond mode is not meant for vmap
-    for B in (4, 16):
+    for B in (16,):
         st = bstate(state0, B)
         per = perframe(jax.vmap(lambda s: step_frame(spec, s)[0]), st)
-        print(f"fwd  B={B:<2d} [{tag:6s}]: {per*1e6:8.0f} us/frame "
+        print(f"fwd  B={B:<2d} [{tag:7s}]: {per*1e6:8.0f} us/frame "
               f"({per*1e6/B:.0f} us/lane)", flush=True)
 
-# ---- forward+backward (rollout-shaped: grad of sum of frame positions) ----
-for tag, kw in MODES[1:]:
-    spec, state0 = make(jnp.asarray(0.5), **kw)
+# ---- batched-native (explicit batch axis, physics/batched.py) ----
+from diffsdfsim_tpu.physics import make_world_batched, step_frame_batched
 
+build = make_builder()
+for B in (1, 4, 16):
+    rads = jnp.full((B,), 0.5)
+    spec, bodies_b, state_b = make_world_batched(build, rads)
+    per = perframe(lambda st: step_frame_batched(spec, bodies_b, st)[0], state_b)
+    print(f"fwd  B={B:<2d} [bnative]: {per*1e6:8.0f} us/frame "
+          f"({per*1e6/B:.0f} us/lane)", flush=True)
+
+
+def fb_bnative(spec, bodies_b):
     def fb(st):
         def loss(s):
-            s2 = step_frame(spec, s)[0]
+            s2 = step_frame_batched(spec, bodies_b, s)[0]
             return jnp.sum(s2.pos ** 2), s2
 
-        (l, s2), g = jax.value_and_grad(loss, has_aux=True)(st)
+        (l, s2), g = jax.value_and_grad(loss, has_aux=True, allow_int=True)(st)
         return s2
 
-    per1 = perframe(fb, state0)
-    print(f"f+b  B=1  [{tag:6s}]: {per1*1e6:8.0f} us/frame", flush=True)
-    for B in (4, 16):
-        st = bstate(state0, B)
-        per = perframe(jax.vmap(fb), st)
-        print(f"f+b  B={B:<2d} [{tag:6s}]: {per*1e6:8.0f} us/frame "
-              f"({per*1e6/B:.0f} us/lane, scaling {per1/ (per/B):.2f}x eff)",
-              flush=True)
+    return fb
+
+
+per1 = None
+for B in (1, 4, 16):
+    rads = jnp.full((B,), 0.5)
+    spec, bodies_b, state_b = make_world_batched(build, rads)
+    per = perframe(fb_bnative(spec, bodies_b), state_b)
+    if B == 1:
+        per1 = per
+    print(f"f+b  B={B:<2d} [bnative]: {per*1e6:8.0f} us/frame "
+          f"({per*1e6/B:.0f} us/lane, scaling {per1/(per/B):.2f}x eff)",
+          flush=True)

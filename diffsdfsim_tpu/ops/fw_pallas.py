@@ -382,20 +382,18 @@ def _fw_pallas_flat(pqr, consts, kind1, kind2, F_real, iters, eps, tol, interpre
 
     # whole batch in one grid step when VMEM allows: grid steps re-run the
     # serial FW loop, so fewer+wider programs win. Mosaic's measured scoped
-    # stack is ~80 (bb, F) f32 planes per lane (inputs+outputs+temporaries;
-    # a 144-lane block at Fp=384 allocated 42.7MB); budget 4MB against the
-    # 16MB limit to leave room for XLA's own scoped use.
-    # measured footprint: a (40, 9, 768) launch allocated a 20.59MB scoped
-    # stack = ~167 live (bb, F) f32 planes per lane (inputs + outputs +
-    # the FW loop's temporaries' live-range union)
-    per_lane = Fp * 170 * 4
-    # grid steps are SERIAL: at seed-batch x probe-ladder scale the block
-    # count is the throughput wall (18 sequential half-idle blocks for a
-    # 16-seed x 9-rung ladder at block 16), so budget most of the 16MB
-    # scoped VMEM for lanes
+    # stack: a (24, 9, 768) block allocated 18.61MB = ~252 live (bb, F) f32
+    # planes per lane (inputs + outputs + the FW loop's temporaries'
+    # live-range union; an earlier (40, 9, 768) kind1=SDF variant measured
+    # ~167/lane — size to the worst observed). Budget 14MB of the 16MB
+    # scoped limit.
+    per_lane = Fp * 260 * 4
+    # grid steps are SERIAL, so fewer+wider blocks win — but each step's FW
+    # loop over a (block_b, Fp) tile is only ~tens of us, so modest widths
+    # are acceptable at seed-batch x probe-ladder scale.
     # hard cap 32: wider blocks (56 lanes at Fp=384) crash the Mosaic
     # compile even when the VMEM estimate fits
-    block_b = max(8, min(_round_up(B, 8), 32, (15_000_000 // per_lane) // 8 * 8))
+    block_b = max(8, min(_round_up(B, 8), 32, (14_000_000 // per_lane) // 8 * 8))
     if _FORCED_BLOCK is not None:  # benchmarking override
         block_b = _FORCED_BLOCK
     Bp = _round_up(max(B, block_b), block_b)

@@ -20,3 +20,4 @@ from .joints import (
 )
 from .forces import Gravity3D, ExternalForce3D, DOWN, UP, RIGHT, LEFT, FRONT, BACK, ROTX, ROTY, ROTZ, ZERO6
 from .world import WorldSpec, WorldState, make_world, step_frame, rollout, run_world, Trajectory
+from .batched import make_world_batched, rollout_batched, step_frame_batched

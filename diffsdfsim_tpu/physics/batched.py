@@ -1,0 +1,255 @@
+"""Batched-native rollout: the seed/scene batch is an explicit leading axis.
+
+The TPU production path for parameter sweeps (reference: N separate
+processes, `experiments/trajectory_fitting/generate_jobs.py`). A plain
+`jax.vmap(rollout)` pays two structural taxes on TPU:
+
+1. every `lax.cond` executes BOTH branches per lane, so the substep-skip
+   cond runs the full differentiable step for lanes whose frame is already
+   covered (max_substeps x the necessary work), and
+2. per-lane probe gating needs `jax.custom_batching.custom_vmap` wrappers,
+   which do not compose with reverse-mode autodiff and force run-both +
+   select at every gate (world._probe_ladder_gated's whole-batch cond only
+   covers the ladder, not the substep loop).
+
+Here the batch axis is explicit, so whole-batch `lax.cond`s are plain JAX:
+
+- a substep runs only when ANY lane still has frame time to cover (free
+  flight and resting contact finish in one substep, so substeps 2..S are a
+  single skipped cond for the entire batch);
+- the bisection ladder runs only when ANY lane rejects the rung-0 (full
+  frame dt) probe — the probe itself is one lane-flattened kernel batch;
+- inner per-lane physics reuses the same pure functions as the unbatched
+  path (`world._probe_rung0` / `_probe_ladder_full` / `finish_step`) under
+  `jax.vmap`, with bodies passed as explicit mapped operands.
+
+This is also the shape that shards: the leading axis can carry a
+`NamedSharding` over a device mesh, and the whole-batch `jnp.any`
+reductions become XLA collectives (see parallel/sharding.py).
+
+Constraint (same as cfg.ladder_batch_gate): `spec.joints` / `spec.forces`
+stay in the closure, so they must not hold per-lane traced leaves — bodies
+and state are the batched carriers. Worlds whose forces close over per-lane
+parameters (e.g. sysid's Push) must use the vmap path instead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .world import (
+    StepRecord,
+    Trajectory,
+    WorldSpec,
+    WorldState,
+    _accept_thresh,
+    _probe_ladder_full,
+    _probe_rung0,
+    _spec_with_bodies,
+    finish_step,
+)
+
+
+def _select_lanes(pred, a, b):
+    """Per-lane select over pytrees with a leading batch axis."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(pred.reshape(pred.shape + (1,) * (x.ndim - 1)), x, y),
+        a,
+        b,
+    )
+
+
+def make_world_batched(build_fn, *batched_args):
+    """Batch a world-building function over leading-axis arguments.
+
+    ``build_fn(*args) -> (spec, state)`` is the usual single-world
+    constructor (typically closing over unbatched config and calling
+    ``make_world``). Returns ``(spec, bodies_b, state_b)`` where
+    ``bodies_b``/``state_b`` carry a leading batch axis on every leaf and
+    ``spec`` provides the (lane-uniform) static structure — pair tables,
+    joints, forces, cfg. Lane 0's traced body leaves remain in
+    ``spec.bodies`` but the batched entry points never read them."""
+
+    def leaves(*a):
+        spec, state = build_fn(*a)
+        return spec.bodies, state
+
+    bodies_b, state_b = jax.vmap(leaves)(*batched_args)
+    lane0 = jax.tree_util.tree_map(lambda x: x[0], batched_args)
+    spec, _ = build_fn(*lane0)
+    return spec, bodies_b, state_b
+
+
+def _probe_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b):
+    """Gradient-free bisection probe for the whole batch: rung 0 for all
+    lanes in one lane-flattened kernel batch; the full D-rung ladder only
+    under a whole-batch cond when some lane rejects (reference
+    world.py:344-356 per lane)."""
+    sg = jax.lax.stop_gradient
+    bodies_b = jax.tree_util.tree_map(sg, bodies_b)
+    state_b = jax.tree_util.tree_map(sg, state_b)
+    dt_frame_b = sg(dt_frame_b)
+
+    def rung0(bd, st, dtf):
+        s = _spec_with_bodies(spec, bd)
+        return _probe_rung0(s, st, dtf, _accept_thresh(s, st))
+
+    ok0, cache0 = jax.vmap(rung0)(bodies_b, state_b, dt_frame_b)
+    B = ok0.shape[0]
+
+    def fast(_):
+        return (
+            jnp.zeros((B,), dtype=jnp.int32),
+            jnp.ones((B,), dtype=bool),
+            cache0,
+        )
+
+    def slow(_):
+        def ladder(bd, st, dtf):
+            s = _spec_with_bodies(spec, bd)
+            k, any_ok, cc, sol_k = _probe_ladder_full(
+                s, st, dtf, _accept_thresh(s, st)
+            )
+            return k, any_ok, (cc, sol_k)
+
+        return jax.vmap(ladder)(bodies_b, state_b, dt_frame_b)
+
+    k, ok, cache = jax.lax.cond(jnp.all(ok0), fast, slow, None)
+    return k, ok, jax.tree_util.tree_map(sg, cache)
+
+
+def step_dt_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b):
+    """One substep for the whole batch (see step_dt)."""
+    k, ok, cache = _probe_batched(spec, bodies_b, state_b, dt_frame_b)
+
+    def tail(bd, st, dtf, kk, o, ca):
+        return finish_step(_spec_with_bodies(spec, bd), st, dtf, kk, o, ca)
+
+    return jax.vmap(tail)(bodies_b, state_b, dt_frame_b, k, ok, cache)
+
+
+def _skip_record(st: WorldState):
+    B = st.pos.shape[0]
+    return StepRecord(
+        t=st.t,
+        quat=st.quat,
+        pos=st.pos,
+        v=st.v,
+        valid=jnp.zeros((B,), dtype=bool),
+        bisect_failed=jnp.zeros((B,), dtype=bool),
+        n_halvings=jnp.zeros((B,), dtype=jnp.int32),
+    )
+
+
+def step_frame_batched(spec: WorldSpec, bodies_b, state_b: WorldState):
+    """One fixed-dt frame for the whole batch: substep until every lane's t
+    reaches its end_t, bounded by cfg.max_substeps. Substeps where NO lane
+    is active are one skipped whole-batch cond (in the vmap path they each
+    paid a full run-both step)."""
+    cfg = spec.cfg
+    end_t = state_b.t + cfg.dt  # (B,)
+
+    def sub(carry, _):
+        st, had = carry
+        remaining = end_t - st.t
+        active = remaining > cfg.dt * 1e-6  # (B,)
+
+        def do(_):
+            dtf = jnp.maximum(remaining, cfg.dt * 1e-6)
+            new_st, rec = step_dt_batched(spec, bodies_b, st, dtf)
+            new_st = _select_lanes(active, new_st, st)
+            rec = _select_lanes(active, rec, _skip_record(st))
+            return new_st, rec._replace(valid=rec.valid & active)
+
+        def skip(_):
+            return st, _skip_record(st)
+
+        new_st, rec = jax.lax.cond(jnp.any(active), do, skip, None)
+        had = had | (active & jnp.any(new_st.contacts.valid, axis=-1))
+        return (new_st, had), rec
+
+    B = state_b.pos.shape[0]
+    (state2, had_contacts), recs = jax.lax.scan(
+        sub, (state_b, jnp.zeros((B,), dtype=bool)), None, length=cfg.max_substeps
+    )
+    truncated = (end_t - state2.t) > cfg.dt * 1e-6
+    return state2, had_contacts, recs, truncated
+
+
+def rollout_batched(
+    spec: WorldSpec,
+    bodies_b,
+    state_b: WorldState,
+    n_frames: int,
+    detach_2nd_bounce: bool = False,
+):
+    """Scan n_frames batched frames. Trajectory leaves are (T, S, B, ...).
+
+    detach_2nd_bounce follows the reference undo+re-run semantics per lane
+    (world.rollout): the re-run frame is numerically identical, so running
+    it for non-triggered lanes and selecting is exact; the whole-batch cond
+    skips the re-run entirely when no lane triggers this frame."""
+    if spec.cfg.remat_frames:
+        ckpt = jax.checkpoint(lambda st: step_frame_batched(spec, bodies_b, st))
+        frame_fn = lambda st: ckpt(st)
+    else:
+        frame_fn = lambda st: step_frame_batched(spec, bodies_b, st)
+
+    def frame(carry, _):
+        st, n_contact_steps = carry
+        pre = st
+        st2, had_contacts, recs, truncated = frame_fn(st)
+
+        if detach_2nd_bounce:
+            n2 = n_contact_steps + had_contacts.astype(jnp.int32)
+            trigger = had_contacts & (n2 > 1)  # (B,)
+            sg = jax.lax.stop_gradient
+            detached = WorldState(
+                quat=sg(pre.quat),
+                pos=sg(pre.pos),
+                v=sg(pre.v),
+                t=pre.t,
+                contacts=jax.tree_util.tree_map(sg, pre.contacts),
+                last_dt=sg(pre.last_dt),
+                had_toc=pre.had_toc,
+            )
+
+            def redo(_):
+                base = _select_lanes(trigger, detached, st)
+                st3, _, recs3, trunc3 = frame_fn(base)
+                # recs leaves are (S, B, ...): align the lane mask to axis 1
+                recs_sel = jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(
+                        trigger.reshape((1,) + trigger.shape + (1,) * (x.ndim - 2)),
+                        x,
+                        y,
+                    ),
+                    recs3,
+                    recs,
+                )
+                return (
+                    _select_lanes(trigger, st3, st2),
+                    recs_sel,
+                    jnp.where(trigger, trunc3, truncated),
+                )
+
+            def keep(_):
+                return st2, recs, truncated
+
+            st4, recs4, trunc4 = jax.lax.cond(jnp.any(trigger), redo, keep, None)
+            n3 = jnp.where(trigger, 1, n2)
+            return (st4, n3), (recs4, trunc4)
+
+        return (st2, n_contact_steps), (recs, truncated)
+
+    B = state_b.pos.shape[0]
+    (final, _), (recs, truncated) = jax.lax.scan(
+        frame, (state_b, jnp.zeros((B,), dtype=jnp.int32)), None, length=n_frames
+    )
+    traj = Trajectory(
+        t=recs.t, quat=recs.quat, pos=recs.pos, v=recs.v, valid=recs.valid,
+        bisect_failed=recs.bisect_failed, truncated=truncated,
+        n_halvings=recs.n_halvings,
+    )
+    return final, traj

@@ -471,9 +471,6 @@ class StepRecord(NamedTuple):
 def step_dt(spec: WorldSpec, state: WorldState, dt_frame):
     """One substep (reference step_dt, world.py:241-379): bisection search,
     differentiable replay, TOC re-emission, optional post-stabilization."""
-    cfg = spec.cfg
-    dtype = state.pos.dtype
-
     # Gradient-free probe + bisection decide the accepted dt; ONE
     # differentiable replay then runs at that dt, reusing the accepted
     # trial's (stop-gradient) contact-search cache. Running a speculative
@@ -484,6 +481,15 @@ def step_dt(spec: WorldSpec, state: WorldState, dt_frame):
     # from the autograd graph.
     thresh = _accept_thresh(spec, state)
     k, ok_final, cache = _probe_ladder(spec, state, dt_frame, thresh)
+    return finish_step(spec, state, dt_frame, k, ok_final, cache)
+
+
+def finish_step(spec: WorldSpec, state: WorldState, dt_frame, k, ok_final, cache):
+    """Differentiable tail of a substep, once the (gradient-free) probe has
+    selected the bisection rung `k` and produced the contact-search cache.
+    Shared by step_dt and the batched-native path (physics/batched.py)."""
+    cfg = spec.cfg
+    dtype = state.pos.dtype
 
     def diff_block(state, dt_k, cache):
         """The substep's entire differentiable work: replay + TOC +
