@@ -125,18 +125,13 @@ def main():
 
     loss_fn, batch_loss_fn = _build({})
 
-    if batch:
-        # production-scale mode: the batched-native SPMD rollout
-        # (physics/batched.py) carries the seed batch as an explicit axis —
-        # whole-batch conds skip inactive substeps and the bisection ladder
-        # (the reference runs these as N separate processes).
+    def measure_batch(nb):
+        """Aggregate lane-steps/s of the batched-native rollout at nb seeds."""
         grad_fn = jax.jit(jax.value_and_grad(batch_loss_fn))
-        rads = jnp.linspace(0.42, 0.58, batch)
+        rads = jnp.linspace(0.42, 0.58, nb)
         for w in range(3):
             val, g = grad_fn(rads + 1e-5 * w)
             _ = float(g[0])
-
-        n_big = 8
 
         def run_n(n):
             def run(base):
@@ -148,8 +143,15 @@ def main():
 
             return run
 
-        dt, spread = _marginal_cost(run_n(1), run_n(n_big), n_big)
-        steps_per_sec = N_FRAMES * batch / dt
+        dt, spread = _marginal_cost(run_n(1), run_n(8), 8)
+        return N_FRAMES * nb / dt, spread
+
+    if batch:
+        # production-scale mode: the batched-native SPMD rollout
+        # (physics/batched.py) carries the seed batch as an explicit axis —
+        # whole-batch conds skip inactive substeps and the bisection ladder
+        # (the reference runs these as N separate processes).
+        steps_per_sec, spread = measure_batch(batch)
         metric = f"steps/sec, 100-frame bounce rollout (fwd+bwd), batch={batch}"
         extra = {"spread": round(spread, 3)}
     else:
@@ -183,10 +185,16 @@ def main():
         )
         steps_per_sec = N_FRAMES / dt
         metric = "steps/sec, 100-frame bounce rollout (fwd+bwd)"
+        # production seed-sweep throughput on the same chip (the framework's
+        # primary deployment shape; the reference runs sweeps as N processes)
+        b16, b16_spread = measure_batch(16)
         extra = {
             "fwd_only_steps_per_sec": round(N_FRAMES / dt_fwd, 2),
             "bwd_share": round(max(1.0 - dt_fwd / dt, 0.0), 3),
             "spread": round(spread, 3),
+            "batch16_steps_per_sec": round(b16, 2),
+            "batch16_vs_baseline": round(b16 / TORCH_BASELINE_STEPS_PER_SEC, 2),
+            "batch16_spread": round(b16_spread, 3),
         }
 
     vs = steps_per_sec / TORCH_BASELINE_STEPS_PER_SEC

@@ -33,7 +33,8 @@ if "cpu_x64=1" in sys.argv[1:]:
 
 import jax.numpy as jnp, numpy as np
 import optax
-from diffsdfsim_tpu.experiments.optim_sphere import (DEFAULTS, build_cfg, make_loss,
+from diffsdfsim_tpu.experiments.optim_sphere import (DEFAULTS, build_cfg,
+                                                     make_loss_batched,
                                                      sample_params)
 
 ALL_CONFIGS = {
@@ -62,17 +63,23 @@ for tag in names:
     c = dict(DEFAULTS)
     c.update(ALL_CONFIGS[tag])
     c.update(overrides)
-    c["n_par"] = CHUNK  # vmapped seed batch: disables the rung-0 cond
+    c["n_par"] = CHUNK  # seed batch size per chunk
     cfg = build_cfg(c)
-    target_traj_fn, loss_fn = make_loss(c, cfg)
-    tgt_j = jax.jit(jax.vmap(target_traj_fn))
+    # batched-native rollout (physics/batched.py): whole-batch substep +
+    # staged-ladder gating instead of vmap's run-both-branches
+    target_traj_fn, losses = make_loss_batched(c, cfg)
+    tgt_j = jax.jit(target_traj_fn)
     opt = optax.sgd(c["lr"]) if c["optimizer"] == "GD" else optax.adam(c["lr"])
     lo, hi = c["min_dim"], c["max_dim"]
     thresh = c["conv_thresh"]
 
     @jax.jit
     def gd_step(rad, opt_state, last, done, tgt):
-        val, g = jax.vmap(jax.value_and_grad(loss_fn))(rad, tgt)
+        def f(r):
+            l = losses(r, tgt)
+            return jnp.sum(l), l
+
+        (_, val), g = jax.value_and_grad(f, has_aux=True)(rad)
         done = done | (jnp.abs(last - val) < thresh)
         upd, new_opt_state = opt.update(g, opt_state)
         new_rad = jnp.clip(rad + upd, lo, hi)

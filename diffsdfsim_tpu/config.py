@@ -114,6 +114,12 @@ class SimConfig:
     # constraint worlds (optim_sphere/shapespace/pointcloud, bench) qualify;
     # sysid's per-lane Push force does NOT.
     ladder_batch_gate: bool = False
+    # staged bisection: probe rungs 0..ladder_stage1 first, the deep rungs
+    # only when the shallow stage fails (world._probe_ladder_full /
+    # batched._probe_batched). Nearly all halvings are k <= 2 on contact-rich
+    # rollouts, so the full max_bisect+1-wide probe paid ~3x the necessary
+    # kernel batch. -1 disables staging (single full-width probe).
+    ladder_stage1: int = 2
     max_substeps: int = 8  # substeps per fixed-dt frame (scan bound)
     # rematerialize each frame in the rollout backward (jax.checkpoint):
     # trades recomputing the frame forward for not saving its residuals —

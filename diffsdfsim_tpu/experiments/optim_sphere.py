@@ -52,6 +52,7 @@ DEFAULTS = dict(
     use_friction=True,
     n_par=1,
     sweep_mode="hostloop",  # hostloop | scan (scan: whole GD loop on device)
+    sweep_backend="bnative",  # bnative (explicit batch axis) | vmap
     mesh_subdiv=2,
     fric_dirs=8,
     base_dir="outputs",
@@ -77,9 +78,9 @@ def build_cfg(c) -> SimConfig:
     )
 
 
-def simulate(rad, c, cfg):
-    """Build the world (floor + wall + sphere, optim_sphere.py:78-111) and
-    roll out; returns (final_state, trajectory, sphere_body_index)."""
+def build_world(rad, c, cfg):
+    """Build the world (floor + wall + sphere, reference
+    optim_sphere.py:78-111); returns (spec, state, sphere_idx, sphere)."""
     dtype = default_dtype()
     fric = 0.25 if c["use_friction"] else 0.0
     rest = 0.5
@@ -118,6 +119,13 @@ def simulate(rad, c, cfg):
         bodies, jnp.asarray(poses, dtype=dtype), vels,
         joints=joints, forces=forces, no_contact=no_contact, cfg=cfg,
     )
+    return spec, state, sphere_idx, sphere
+
+
+def simulate(rad, c, cfg):
+    """Build the world and roll out; returns (final_state, trajectory,
+    sphere_body_index, sphere_body)."""
+    spec, state, sphere_idx, sphere = build_world(rad, c, cfg)
     n_frames = int(round(c["run_time"] / cfg.dt))
     final, traj = rollout(
         spec, state, n_frames=n_frames, detach_2nd_bounce=c["detach_2nd_bounce"]
@@ -146,6 +154,44 @@ def make_loss(c, cfg):
         return trajectory_loss(traj, tgt_traj, body=idx)
 
     return target_traj, loss_fn
+
+
+def make_loss_batched(c, cfg):
+    """Batched-native sweep loss (physics/batched.py): the seed batch is an
+    explicit leading axis, so substeps and ladder rungs are whole-batch
+    gated instead of vmap's run-both-branches. Returns
+    (target_trajs(rads_b) -> lanes-first Trajectory,
+     losses(rads_b, tgt) -> (B,) per-lane losses)."""
+    from ..physics import make_world_batched, rollout_batched
+    from ..physics.batched import trajectory_lanes_first
+
+    idx = sphere_index(c)
+    n_frames = int(round(c["run_time"] / cfg.dt))
+
+    def world_fn(rad):
+        spec, state, _, _ = build_world(rad, c, cfg)
+        return spec, state
+
+    def target_trajs(target_rads):
+        # the reference target world runs WITHOUT detach (see make_loss)
+        spec, bodies_b, state_b = make_world_batched(world_fn, target_rads)
+        _, traj = rollout_batched(
+            spec, bodies_b, state_b, n_frames, detach_2nd_bounce=False
+        )
+        return jax.lax.stop_gradient(trajectory_lanes_first(traj))
+
+    def losses(rads, tgt_lanes):
+        spec, bodies_b, state_b = make_world_batched(world_fn, rads)
+        _, traj = rollout_batched(
+            spec, bodies_b, state_b, n_frames,
+            detach_2nd_bounce=c["detach_2nd_bounce"],
+        )
+        lanes = trajectory_lanes_first(traj)
+        return jax.vmap(lambda tr, tg: trajectory_loss(tr, tg, body=idx))(
+            lanes, tgt_lanes
+        )
+
+    return target_trajs, losses
 
 
 def sample_params(key, c):
@@ -208,32 +254,58 @@ def run_one(key, c, cfg):
 
 
 def run_sweep_hostloop(keys, c, cfg):
-    """Multi-seed sweep with the GD loop on host: one jitted, vmapped
+    """Multi-seed sweep with the GD loop on host: one jitted batched
     value_and_grad per iteration (small compiled graph; preferred on TPU
-    where a scan-over-optimizer graph is unnecessarily large)."""
+    where a scan-over-optimizer graph is unnecessarily large).
+
+    Uses the batched-native rollout (physics/batched.py) by default; set
+    sweep_backend=vmap for the per-lane vmap path (needed if the world's
+    joints/forces ever close over per-lane parameters — not the case
+    here)."""
     target_rad, start_rad = jax.vmap(lambda k: sample_params(k, c))(keys)
     lo, hi = c["min_dim"], c["max_dim"]
-    target_traj_fn, loss_fn = make_loss(c, cfg)
-
-    tgt_traj = jax.jit(jax.vmap(target_traj_fn))(target_rad)
+    bnative = c.get("sweep_backend", "bnative") == "bnative"
 
     opt = optax.adam(c["lr"]) if c["optimizer"] == "Adam" else optax.sgd(c["lr"])
-
     thresh = c["conv_thresh"]
 
-    @jax.jit
-    def gd_step(rad, opt_state, last, done):
-        val, g = jax.vmap(jax.value_and_grad(loss_fn))(rad, tgt_traj)
-        # per-lane convergence freeze (reference early-stop semantics,
-        # optim_sphere.py:272-276 — see run_one)
-        done = done | (jnp.abs(last - val) < thresh)
-        upd, new_opt_state = opt.update(g, opt_state)
-        new_rad = jnp.clip(rad + upd, lo, hi)
-        rad = jnp.where(done, rad, new_rad)
-        opt_state = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(done, a, b), opt_state, new_opt_state
-        )
-        return rad, opt_state, val, done
+    if bnative:
+        target_traj_fn, losses = make_loss_batched(c, cfg)
+        tgt_traj = jax.jit(target_traj_fn)(target_rad)
+
+        @jax.jit
+        def gd_step(rad, opt_state, last, done):
+            def f(r):
+                l = losses(r, tgt_traj)
+                return jnp.sum(l), l
+
+            (_, val), g = jax.value_and_grad(f, has_aux=True)(rad)
+            done = done | (jnp.abs(last - val) < thresh)
+            upd, new_opt_state = opt.update(g, opt_state)
+            new_rad = jnp.clip(rad + upd, lo, hi)
+            rad = jnp.where(done, rad, new_rad)
+            opt_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(done, a, b), opt_state, new_opt_state
+            )
+            return rad, opt_state, val, done
+
+    else:
+        target_traj_fn, loss_fn = make_loss(c, cfg)
+        tgt_traj = jax.jit(jax.vmap(target_traj_fn))(target_rad)
+
+        @jax.jit
+        def gd_step(rad, opt_state, last, done):
+            val, g = jax.vmap(jax.value_and_grad(loss_fn))(rad, tgt_traj)
+            # per-lane convergence freeze (reference early-stop semantics,
+            # optim_sphere.py:272-276 — see run_one)
+            done = done | (jnp.abs(last - val) < thresh)
+            upd, new_opt_state = opt.update(g, opt_state)
+            new_rad = jnp.clip(rad + upd, lo, hi)
+            rad = jnp.where(done, rad, new_rad)
+            opt_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(done, a, b), opt_state, new_opt_state
+            )
+            return rad, opt_state, val, done
 
     rad = start_rad
     opt_state = opt.init(rad)

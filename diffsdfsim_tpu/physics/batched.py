@@ -38,14 +38,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .contacts import finish_contacts
 from .world import (
     StepRecord,
     Trajectory,
     WorldSpec,
     WorldState,
     _accept_thresh,
-    _probe_ladder_full,
     _probe_rung0,
+    _probe_rungs,
     _spec_with_bodies,
     finish_step,
 )
@@ -106,14 +107,55 @@ def _probe_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b):
         )
 
     def slow(_):
-        def ladder(bd, st, dtf):
-            s = _spec_with_bodies(spec, bd)
-            k, any_ok, cc, sol_k = _probe_ladder_full(
-                s, st, dtf, _accept_thresh(s, st)
-            )
-            return k, any_ok, (cc, sol_k)
+        """Staged whole-batch ladder (world._probe_ladder_full semantics at
+        the batch level): every lane probes the shallow rungs together; the
+        deep rungs run under a second whole-batch cond only when some lane
+        fails the shallow stage. Rung 0 is NOT re-probed — every lane's
+        rung-0 verdict and cache are already in (ok0, cache0); lanes that
+        passed it are merged back at the end. Selected k per lane is
+        identical to the full-width probe (smallest passing rung / floor)."""
+        cfg = spec.cfg
+        mb = cfg.max_bisect
+        s1 = max(min(cfg.ladder_stage1, mb), 1) if cfg.ladder_stage1 >= 0 else mb
 
-        return jax.vmap(ladder)(bodies_b, state_b, dt_frame_b)
+        def rungs(lo, hi):
+            def f(bd, st, dtf):
+                s = _spec_with_bodies(spec, bd)
+                return _probe_rungs(s, st, dtf, _accept_thresh(s, st), lo, hi)
+
+            return f
+
+        f1, k1, raw1, sol1 = jax.vmap(rungs(1, s1))(bodies_b, state_b, dt_frame_b)
+        if s1 == mb:
+            found, k, raw, sol = f1, k1, raw1, sol1
+        else:
+
+            def stay(_):
+                return f1, k1, raw1, sol1
+
+            def deep(_):
+                f2, k2, raw2, sol2 = jax.vmap(rungs(s1 + 1, mb))(
+                    bodies_b, state_b, dt_frame_b
+                )
+                return _select_lanes(
+                    f1, (f1, k1, raw1, sol1), (f2, k2, raw2, sol2)
+                )
+
+            found, k, raw, sol = jax.lax.cond(
+                jnp.all(f1 | ok0), stay, deep, None
+            )
+
+        cc = jax.vmap(lambda r: finish_contacts(r, cfg))(raw)
+        cc0, sol0 = cache0
+        return (
+            jnp.where(ok0, 0, k),
+            ok0 | found,
+            (_select_lanes(ok0, cc0, cc), _select_lanes(ok0, sol0, sol)),
+        )
+
+    if spec.cfg.max_bisect == 0:
+        # the ladder IS rung 0: nothing further to probe on rejection
+        return jnp.zeros_like(ok0, dtype=jnp.int32), ok0, cache0
 
     k, ok, cache = jax.lax.cond(jnp.all(ok0), fast, slow, None)
     return k, ok, jax.tree_util.tree_map(sg, cache)
@@ -175,6 +217,19 @@ def step_frame_batched(spec: WorldSpec, bodies_b, state_b: WorldState):
     )
     truncated = (end_t - state2.t) > cfg.dt * 1e-6
     return state2, had_contacts, recs, truncated
+
+
+def trajectory_lanes_first(traj: Trajectory) -> Trajectory:
+    """Reorder a rollout_batched Trajectory ((T, S, B, ...) leaves,
+    truncated (T, B)) to lanes-first (B, T, S, ...) so per-lane consumers
+    (losses, plotting) can jax.vmap over it like a vmap(rollout) result."""
+    mv2 = lambda x: jnp.moveaxis(x, 2, 0)
+    mv1 = lambda x: jnp.moveaxis(x, 1, 0)
+    return Trajectory(
+        t=mv2(traj.t), quat=mv2(traj.quat), pos=mv2(traj.pos), v=mv2(traj.v),
+        valid=mv2(traj.valid), bisect_failed=mv2(traj.bisect_failed),
+        truncated=mv1(traj.truncated), n_halvings=mv2(traj.n_halvings),
+    )
 
 
 def rollout_batched(

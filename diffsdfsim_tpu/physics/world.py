@@ -284,13 +284,19 @@ def _probe_rung0(spec: WorldSpec, state: WorldState, dt_frame, thresh):
     return ok, (cc, sol)
 
 
-def _probe_ladder_full(spec: WorldSpec, state: WorldState, dt_frame, thresh):
-    """Gradient-free bisection as ONE batched probe over the whole halving
-    ladder: solve dynamics for all D = max_bisect+1 candidate dts in a
-    single batched PDIPM call (engine.probe_dynamics_batch — the KKT data is
+def _probe_rungs(spec: WorldSpec, state: WorldState, dt_frame, thresh, lo, hi):
+    """Gradient-free bisection probe of ladder rungs lo..hi (inclusive,
+    static): solve dynamics for all D = hi-lo+1 candidate dts in a single
+    batched PDIPM call (engine.probe_dynamics_batch — the KKT data is
     dt-independent), integrate and contact-search all D trial poses under
-    vmap, and select the smallest k whose penetration passes `thresh`
+    vmap, and select the smallest rung whose penetration passes `thresh`
     (reference world.py:344-356 semantics).
+
+    Returns (found, k, raw_k, sol_k): `found` is whether any probed rung
+    passed; `k` is the selected rung (== hi when none passed — the deepest
+    probed rung's state, the reference's accept-at-floor behavior when
+    hi == max_bisect); `raw_k`/`sol_k` are the pre-filter search tree and
+    solver solution at rung k.
 
     Replaces a data-dependent while_loop of sequential small solves: on TPU
     each sequential probe costs ~350 us of latency-bound dispatch, while the
@@ -298,9 +304,9 @@ def _probe_ladder_full(spec: WorldSpec, state: WorldState, dt_frame, thresh):
     lockstep to the worst lane's depth."""
     cfg = spec.cfg
     dtype = dt_frame.dtype
-    D = cfg.max_bisect + 1
+    D = hi - lo + 1
 
-    dts = dt_frame * 0.5 ** jnp.arange(D, dtype=dtype)
+    dts = dt_frame * 0.5 ** (lo + jnp.arange(D, dtype=dtype))
     new_vs, sol = probe_dynamics_batch(
         spec.bodies, spec.joints, spec.forces, state, state.contacts, dts, cfg
     )
@@ -308,22 +314,69 @@ def _probe_ladder_full(spec: WorldSpec, state: WorldState, dt_frame, thresh):
     q2, p2 = jax.vmap(_integrate, in_axes=(None, None, 0, 0))(
         state.quat, state.pos, nv, dts
     )
-    # raw (pre-filter) search over the ladder: only the accepted rung pays
+    # raw (pre-filter) search over the rungs: only the accepted rung pays
     # the contact filter, the other D-1 trials only need max_pen
     rawsearch = jax.vmap(
         lambda q, p: search_contacts_raw(spec.bodies, q, p, spec.directed_pairs, cfg)
     )(q2, p2)
 
     ok = rawsearch.max_pen_all <= thresh  # (D,)
-    any_ok = jnp.any(ok)
-    k = jnp.where(any_ok, jnp.argmax(ok), cfg.max_bisect).astype(jnp.int32)
-    cc = finish_contacts(
-        jax.tree_util.tree_map(lambda x: x[k], rawsearch), cfg
-    )
+    found = jnp.any(ok)
+    idx = jnp.where(found, jnp.argmax(ok), D - 1).astype(jnp.int32)
+    raw_k = jax.tree_util.tree_map(lambda x: x[idx], rawsearch)
     sol_k = jax.tree_util.tree_map(
-        lambda x: jax.lax.dynamic_index_in_dim(x, k, 0, keepdims=True), sol
+        lambda x: jax.lax.dynamic_index_in_dim(x, idx, 0, keepdims=True), sol
     )
-    return k, any_ok, cc, sol_k
+    return found, lo + idx, raw_k, sol_k
+
+
+def _probe_ladder_full(spec: WorldSpec, state: WorldState, dt_frame, thresh,
+                       first_rung=0):
+    """Whole-ladder bisection probe, STAGED: rungs 0..ladder_stage1 first,
+    the deep rungs only under a lax.cond when the shallow stage fails.
+    Nearly every halving substep needs k <= 2 (measured on the bouncing
+    bench rollout: the full D=9 ladder ran on 2/3 of executed substeps and
+    dominated batched throughput), so probing all max_bisect+1 rungs paid
+    ~3x the necessary kernel batch + contact searches. Selected-k semantics
+    are identical: the smallest passing rung, or the floor when none pass.
+
+    Batched callers stage at the whole-batch level instead
+    (physics/batched.py) — there the cond predicate must reduce over lanes.
+    Staging is disabled on the vmap-compat configs (ladder_batch_gate, or
+    ladder_fast_path=False as set by vmapped sweep drivers): the stage cond
+    would nest the kernels' custom_vmap rules inside a VMAPPED lax.cond,
+    whose batching broadcasts hoisted branch constants and trips jax's
+    consts_batched assert (CLAUDE.md custom_vmap gotcha).
+
+    `first_rung` skips the leading rungs from the probe entirely — callers
+    whose fast path already proved rung 0 failed pass first_rung=1 so the
+    slow branch does not pay a third redundant solve+search for it (the
+    floor-k / smallest-passing-rung semantics are unchanged: a skipped rung
+    is a known-failed rung)."""
+    cfg = spec.cfg
+    mb = cfg.max_bisect
+    lo = min(first_rung, mb)
+    single_rollout = cfg.ladder_fast_path and not cfg.ladder_batch_gate
+    s1 = (
+        max(min(cfg.ladder_stage1, mb), lo)
+        if (cfg.ladder_stage1 >= 0 and single_rollout)
+        else mb
+    )
+
+    f1, k1, raw1, sol1 = _probe_rungs(spec, state, dt_frame, thresh, lo, s1)
+    if s1 == mb:
+        cc = finish_contacts(raw1, cfg)
+        return k1, f1, cc, sol1
+
+    def stay(_):
+        return f1, k1, raw1, sol1
+
+    def deep(_):
+        return _probe_rungs(spec, state, dt_frame, thresh, s1 + 1, mb)
+
+    found, k, raw, sol_k = jax.lax.cond(f1, stay, deep, None)
+    cc = finish_contacts(raw, cfg)
+    return k, found, cc, sol_k
 
 
 def _spec_with_bodies(spec: WorldSpec, bodies):
@@ -440,13 +493,22 @@ def _probe_ladder(spec: WorldSpec, state: WorldState, dt_frame, thresh):
         cache = jax.tree_util.tree_map(jax.lax.stop_gradient, (cc, sol_k))
         return k, any_ok, cache
 
+    if cfg.max_bisect == 0:
+        # the ladder IS rung 0: nothing further to probe on rejection
+        ok0, cache0 = _probe_rung0(spec, state, dt_frame, thresh)
+        cache0 = jax.tree_util.tree_map(sg, cache0)
+        return jnp.zeros((), dtype=jnp.int32), ok0, cache0
+
     ok0, cache0 = _probe_rung0(spec, state, dt_frame, thresh)
 
     def fast(_):
         return jnp.zeros((), dtype=jnp.int32), jnp.asarray(True), cache0
 
     def slow(_):
-        k, any_ok, cc, sol_k = _probe_ladder_full(spec, state, dt_frame, thresh)
+        # rung 0 is known-failed here — start the ladder at rung 1
+        k, any_ok, cc, sol_k = _probe_ladder_full(
+            spec, state, dt_frame, thresh, first_rung=1
+        )
         return k, any_ok, (cc, sol_k)
 
     k, any_ok, cache = jax.lax.cond(ok0, fast, slow, None)
