@@ -271,12 +271,17 @@ def _make_kernel(kind1, kind2, F_real, iters, eps, tol):
 
         active = jnp.max(candf, axis=-1, keepdims=True)  # (bb, 1)
 
-        # Frank-Wolfe loop (contacts.py:63-82 semantics; fixed trip count
-        # with exact-no-op frozen iterations). fori_loop with ALL-f32
-        # carries, NOT a Python unroll: 32 unrolled bodies blow the 16MB
+        # Frank-Wolfe loop (contacts.py:63-82 semantics). while_loop with
+        # ALL-f32 uniform carries (the iteration counter rides a (bb,1)
+        # plane), NOT a Python unroll: 32 unrolled bodies blow the 16MB
         # scoped VMEM via long live ranges (same hybrid-loop lesson as
-        # ops/qp_pallas.py) and take minutes of Mosaic compile.
-        def fw_body(it, carry):
+        # ops/qp_pallas.py) and take minutes of Mosaic compile. The loop
+        # exits as soon as every lane's search has stopped (penetration
+        # found / no improvement / no candidates) — frozen iterations are
+        # exact no-ops, so outputs are bit-identical to the fixed-trip
+        # version, and a no-candidate block (free flight; the far direction
+        # of a gated SDF-SDF pair) pays ONE iteration instead of `iters`.
+        def fw_body(itv, carry):
             x0, x1, x2, a0, a1, a2, active = carry
             x = [x0, x1, x2]
             sdf, g = q2_query(x)
@@ -289,7 +294,7 @@ def _make_kernel(kind1, kind2, F_real, iters, eps, tol):
             mv = [m0.astype(dtype), m1.astype(dtype), m2.astype(dtype)]
             s = [mv[0] * p(0, c) + mv[1] * p(1, c) + mv[2] * p(2, c) for c in range(3)]
 
-            gamma = 2.0 / (it.astype(dtype) + 2.0)
+            gamma = 2.0 / (itv + 2.0)  # (bb,1) broadcasts over faces
             impr = (
                 (x[0] - s[0]) * g[0] + (x[1] - s[1]) * g[1] + (x[2] - s[2]) * g[2]
             )
@@ -307,8 +312,21 @@ def _make_kernel(kind1, kind2, F_real, iters, eps, tol):
             a = [(1.0 - ge) * (a0, a1, a2)[v] + ge * mv[v] for v in range(3)]
             return (x[0], x[1], x[2], a[0], a[1], a[2], active)
 
-        x0, x1, x2, a0, a1, a2, active = jax.lax.fori_loop(
-            0, iters, fw_body, (x[0], x[1], x[2], a[0], a[1], a[2], active)
+        def w_cond(carry):
+            itv, active = carry[0], carry[-1]
+            return (jnp.min(itv) < iters) & (jnp.max(active) > 0.0)
+
+        def w_body(carry):
+            itv = carry[0]
+            return (itv + 1.0,) + fw_body(itv, carry[1:])
+
+        _, x0, x1, x2, a0, a1, a2, active = jax.lax.while_loop(
+            w_cond,
+            w_body,
+            (
+                jnp.zeros((bb, 1), dtype=dtype),
+                x[0], x[1], x[2], a[0], a[1], a[2], active,
+            ),
         )
         x = [x0, x1, x2]
         a = [a0, a1, a2]

@@ -19,10 +19,11 @@ ENTIRE interior-point loop in one launch with all state in VMEM:
 Semantics match ops/qp._pdipm_forward (reference lcp solver,
 `lcp_physics/lcp/solvers/batch.py:70-231`): same initialization (one KKT
 solve at d=1, slack shift), Mehrotra predictor-corrector, best-iterate
-tracking, NaN freeze. Differences: fixed max_iter (no early exit — the
-while_loop exit rarely fired before max_iter anyway), and the
-not-improved / eps freezes act per problem rather than globally over the
-batch (at least as accurate).
+tracking, NaN freeze. Differences: the not-improved / eps freezes act per
+problem rather than globally over the batch (at least as accurate), and the
+loop exits early only when EVERY lane in the block is frozen (bit-identical
+outputs — frozen lanes are exact no-ops — but resting-contact solves
+converge in ~half of max_iter, so the exit saves real GJ inversions).
 
 This is the gradient-free PROBE path (pdipm_solve_raw). Gradients never
 flow through the iterations — the differentiable replay re-emits the
@@ -258,18 +259,30 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim,
             y_n = jnp.where(keep, y, y_n)
             return (x_n, s_n, z_n, y_n, bx, bs, bz, by, bres, nni, done)
 
+        # while_loop with an ALL-DONE early exit instead of a fixed-trip
+        # fori/unroll: once every lane in the block is frozen (converged /
+        # not-improved / NaN), the remaining iterations are exact no-ops —
+        # resting-contact solves typically converge in ~half of max_iter, so
+        # exiting saves real GJ inversions. Carries stay uniform f32
+        # (Mosaic legalization; the iteration counter rides a (bb,1) plane).
         carry = (
+            jnp.zeros((bb, 1), dtype=dtype),
             x, s, z, y, x, s, z, y,
             jnp.full((bb, 1), big, dtype=dtype),
             jnp.zeros((bb, 1), dtype=dtype),
             jnp.zeros((bb, 1), dtype=dtype),
         )
-        if unroll and m <= 64:
-            for it in range(max_iter):
-                carry = body(it, carry)
-        else:
-            carry = jax.lax.fori_loop(0, max_iter, body, carry)
-        x, s, z, y, bx, bs, bz, by, bres, nni, done = carry
+
+        def w_cond(carry):
+            itv, done = carry[0], carry[-1]
+            return (jnp.min(itv) < max_iter) & (jnp.min(done) < 0.5)
+
+        def w_body(carry):
+            itv = carry[0]
+            return (itv + 1.0,) + body(0, carry[1:])
+
+        carry = jax.lax.while_loop(w_cond, w_body, carry)
+        x, s, z, y, bx, bs, bz, by, bres, nni, done = carry[1:]
 
         # final best-iterate check on the last iterate
         _, _, _, _, _, res = residuals(x, s, z, y)

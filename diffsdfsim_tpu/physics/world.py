@@ -576,32 +576,52 @@ def finish_step(spec: WorldSpec, state: WorldState, dt_frame, k, ok_final, cache
             toc_mask = contacts.valid & ~state.contacts.pair_active[contacts.pair_id]
             any_toc = jnp.any(toc_mask)
 
-            af = apply_forces(spec.bodies, spec.forces, state.t).reshape(-1, 6)
-            masses = jnp.stack([b.mass for b in spec.bodies])
-            accel = af / masses[:, None]
+            def toc_block(op):
+                """TOC re-emission (world.py:272-341). Under lax.cond so the
+                single-rollout path skips its forward AND backward (the gap
+                jvp+vjp) on every substep with no NEW contact — i.e. all of
+                free flight and resting contact; only bounce substeps pay.
+                Vmapped/batched callers execute both branches (cond->select
+                semantics), exactly the unconditional cost they paid before.
+                toc_dt is a custom_vjp (not custom_vmap), so nesting it in a
+                vmapped cond is safe (CLAUDE.md custom_vmap gotcha does not
+                apply)."""
+                new_v, q2, p2, contacts, dt_, toc_mask = op
+                af = apply_forces(spec.bodies, spec.forces, state.t).reshape(-1, 6)
+                masses = jnp.stack([b.mass for b in spec.bodies])
+                accel = af / masses[:, None]
 
-            i1, i2 = contacts.i1, contacts.i2
-            vs1, vs2 = new_v[i1], new_v[i2]
-            poss1 = p2[i1] - dt_ * vs1[:, 3:]
-            poss2 = p2[i2] - dt_ * vs2[:, 3:]
-            rot_back1 = so3_exp_map(-dt_ * vs1[:, :3])
-            rot_back2 = so3_exp_map(-dt_ * vs2[:, :3])
-            rots1 = rot_back1 @ quat_to_matrix(q2[i1])
-            rots2 = rot_back2 @ quat_to_matrix(q2[i2])
-            cs1 = (jnp.swapaxes(rots1, -1, -2) @ contacts.p1[..., None])[..., 0]
-            cs2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.p2[..., None])[..., 0]
-            ns2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.normal[..., None])[..., 0]
+                i1, i2 = contacts.i1, contacts.i2
+                vs1, vs2 = new_v[i1], new_v[i2]
+                poss1 = p2[i1] - dt_ * vs1[:, 3:]
+                poss2 = p2[i2] - dt_ * vs2[:, 3:]
+                rot_back1 = so3_exp_map(-dt_ * vs1[:, :3])
+                rot_back2 = so3_exp_map(-dt_ * vs2[:, :3])
+                rots1 = rot_back1 @ quat_to_matrix(q2[i1])
+                rots2 = rot_back2 @ quat_to_matrix(q2[i2])
+                cs1 = (jnp.swapaxes(rots1, -1, -2) @ contacts.p1[..., None])[..., 0]
+                cs2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.p2[..., None])[..., 0]
+                ns2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.normal[..., None])[..., 0]
 
-            args = TocArgs(
-                cs1=cs1, cs2=cs2, vs1=vs1, vs2=vs2,
-                poss1=poss1, poss2=poss2, rots1=rots1, rots2=rots2,
-                ns2=ns2, as1=accel[i1], as2=accel[i2],
+                args = TocArgs(
+                    cs1=cs1, cs2=cs2, vs1=vs1, vs2=vs2,
+                    poss1=poss1, poss2=poss2, rots1=rots1, rots2=rots2,
+                    ns2=ns2, as1=accel[i1], as2=accel[i2],
+                )
+                dt_toc = toc_dt(dt_, args, toc_mask)
+                # redo the move with the gradient-carrying dt
+                # (world.py:329-341); numerically identical, so always replay
+                q2t, p2t = _integrate(state.quat, state.pos, new_v, dt_toc)
+                return q2t, p2t, dt_toc
+
+            def no_toc_block(op):
+                _, q2, p2, _, _, _ = op
+                return q2, p2, state.last_dt
+
+            q2, p2, last_dt = jax.lax.cond(
+                any_toc, toc_block, no_toc_block,
+                (new_v, q2, p2, contacts, dt_, toc_mask),
             )
-            dt_toc = toc_dt(dt_, args, toc_mask)
-            # redo the move with the gradient-carrying dt (world.py:329-341);
-            # numerically identical, so always replay
-            q2, p2 = _integrate(state.quat, state.pos, new_v, dt_toc)
-            last_dt = jnp.where(any_toc, dt_toc, state.last_dt)
             had_toc = any_toc
         else:
             last_dt = state.last_dt
