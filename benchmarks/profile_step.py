@@ -61,7 +61,7 @@ def per_iter_time(body_fn, arg, k_small=K_SMALL, k_big=K_BIG):
     return max(t_big - t_small, 1e-12) / (k_big - k_small)
 
 
-def build_scene():
+def build_scene(drop=False):
     from diffsdfsim_tpu.config import SimConfig
     from diffsdfsim_tpu.physics import (
         BoxShape,
@@ -86,8 +86,10 @@ def build_scene():
     )
     floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0])), subdiv=3, fric_coeff=0.25)
     sphere = make_body(SphereShape(0.5), subdiv=2, fric_coeff=0.25)
-    # resting-contact pose: sphere just touching the floor top (y = 0.5)
-    poses = jnp.array([[1.0, 0, 0, 0, 0.0, -0.5, 0.0], [1.0, 0, 0, 0, 0.0, 0.4999, 0.0]])
+    # resting-contact pose: sphere just touching the floor top (y = 0.5);
+    # drop=True starts at bench.py's drop height (the bounce workload)
+    y0 = 1.2 if drop else 0.4999
+    poses = jnp.array([[1.0, 0, 0, 0, 0.0, -0.5, 0.0], [1.0, 0, 0, 0, 0.0, y0, 0.0]])
     vels = jnp.zeros((2, 6))
     spec, state = make_world(
         [floor, sphere],
@@ -101,7 +103,9 @@ def build_scene():
 
 
 def main():
-    want = set(sys.argv[1:]) or {
+    argv = [a for a in sys.argv[1:] if a != "drop"]
+    drop = "drop" in sys.argv[1:]
+    want = set(argv) or {
         "linalg",
         "pdipm",
         "fw",
@@ -111,7 +115,7 @@ def main():
     }
     if "rollout_fwd" in want or "rollout_bwd" in want:
         want.add("rollout")
-    print(f"backend={jax.default_backend()} devices={len(jax.devices())}")
+    print(f"backend={jax.default_backend()} devices={len(jax.devices())} drop={drop}")
     results = {}
 
     if "linalg" in want:
@@ -145,13 +149,51 @@ def main():
         results["inv+matvec 46x46"] = per_iter_time(inv_body, x0)
         results["chol+solve 46x46"] = per_iter_time(chol_body, x0)
 
-    if want & {"pdipm", "fw", "recompute", "stepframe", "rollout"}:
-        spec, state = build_scene()
+    if want & {"pdipm", "fw", "recompute", "stepframe", "rollout", "probe", "ladder"}:
+        spec, state = build_scene(drop=drop)
         from diffsdfsim_tpu.physics.contacts import find_contacts, search_contacts
         from diffsdfsim_tpu.physics.engine import solve_dynamics
         from diffsdfsim_tpu.physics.world import step_frame
 
         cfg = spec.cfg
+
+    if "probe" in want:
+        from diffsdfsim_tpu.physics.world import _accept_thresh, _probe_rung0
+
+        def pr_body(st):
+            ok, (cc, sol) = _probe_rung0(
+                spec, st, jnp.asarray(cfg.dt, st.pos.dtype), _accept_thresh(spec, st)
+            )
+            return st.replace(pos=st.pos + 1e-12 * jnp.where(ok, 1.0, 0.0))
+
+        results["probe rung0 (solve+search)"] = per_iter_time(
+            pr_body, state, k_small=16, k_big=64
+        )
+
+    if "ladder" in want:
+        from diffsdfsim_tpu.physics.world import _accept_thresh, _probe_rungs
+
+        def ld_body(st):
+            found, k, raw_k, sol_k = _probe_rungs(
+                spec, st, jnp.asarray(cfg.dt, st.pos.dtype),
+                _accept_thresh(spec, st), 1, 2,
+            )
+            return st.replace(pos=st.pos + 1e-12 * k.astype(st.pos.dtype))
+
+        results["ladder stage1 (rungs 1-2, D=2)"] = per_iter_time(
+            ld_body, state, k_small=16, k_big=64
+        )
+
+        def ld_full_body(st):
+            found, k, raw_k, sol_k = _probe_rungs(
+                spec, st, jnp.asarray(cfg.dt, st.pos.dtype),
+                _accept_thresh(spec, st), 0, cfg.max_bisect,
+            )
+            return st.replace(pos=st.pos + 1e-12 * k.astype(st.pos.dtype))
+
+        results[f"ladder full (rungs 0-{cfg.max_bisect}, D={cfg.max_bisect+1})"] = per_iter_time(
+            ld_full_body, state, k_small=16, k_big=64
+        )
 
     if "pdipm" in want:
         contacts = jax.jit(
