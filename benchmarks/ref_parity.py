@@ -37,7 +37,9 @@ def run_reference(rad, run_time):
     run_fixed_dt(w, run_time, detach_2nd_bounce=False)
     # world.trajectory records (t, p_all) per frame; sphere is the last body
     out = []
-    for t, p in w.trajectory:
+    # trajectory records are (t, p, v, contacts, rot_joints) — world.py:377
+    for rec in w.trajectory:
+        t, p = rec[0], rec[1]
         out.append((float(t), np.asarray(p[-3:].detach())))
     return out
 

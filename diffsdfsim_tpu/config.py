@@ -98,6 +98,13 @@ class SimConfig:
     # iteration and is the bandwidth wall under probe-ladder x seed-batch
     # vmap. Grid/latent shapes always use the XLA path.
     fw_backend: str = "auto"
+    # contact-point polish (ops/polish.py): fixed-trip projected tangential
+    # descent refining each FW candidate point along body 1's analytic
+    # surface. Recovers the exact contact point/penetration from coarse
+    # meshes — the TPU-native replacement for the reference's res-128
+    # marching-cubes surface meshes (bodies.py:653-664), whose fine
+    # triangles give its FW search ~(extent/128) localization. 0 disables.
+    contact_polish_iters: int = 10
     # stepping (fixed-shape bounds for data-dependent control flow)
     max_bisect: int = 10  # reference dt floor dt/2**10, world.py:345
     # probe rung 0 (the full frame dt) first and run the rest of the

@@ -66,8 +66,12 @@ def build_cfg(c) -> SimConfig:
         max_contacts_per_pair=4,
         max_contacts_total=8,
         mesh_subdiv=c["mesh_subdiv"],
-        max_substeps=4,
-        max_bisect=8,
+        # reference bounds: the substep loop is unbounded (world.py:129-133)
+        # and the strict halving loop never gives up (world.py:345-349);
+        # 6 substeps / 12 halvings cover the deepest observed impact frames
+        # (halving histograms in the rad-sweep parity runs top out at k=8)
+        max_substeps=6,
+        max_bisect=12,
         tol=1e-5 if f32 else 1e-8,
         time_of_contact_diff=c["use_toc_diff"],
         # seed-batched sweeps vmap the rollout: the rung-0 cond would pay

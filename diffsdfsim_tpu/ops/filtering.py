@@ -32,6 +32,7 @@ def filter_contacts(
     k_out: int,
     n_clusters: int = 4,
     angle_thresh: float = 1e-2,
+    dedup_eps: float = 1e-3,
 ):
     """Select up to k_out representative contact indices.
 
@@ -79,9 +80,16 @@ def filter_contacts(
     slot_idx = jnp.stack(slot_idx).astype(jnp.int32)  # (S,)
     slot_valid = jnp.stack(slot_valid)
 
-    # exact-duplicate removal: keep first occurrence
+    # duplicate removal, keep first occurrence: same face index OR contact
+    # point within dedup_eps (the reference's hull/min-max filter collapses
+    # sub-eps point clusters to one representative, contacts.py:139-147;
+    # with the polish stage several faces converge to the SAME point, and
+    # keeping the near-coincident copies would put degenerate duplicate rows
+    # into the LCP)
     s = slot_idx.shape[0]
-    eq = slot_idx[None, :] == slot_idx[:, None]  # [i, j]
+    p1s = p1[slot_idx]
+    d2 = jnp.sum((p1s[None, :, :] - p1s[:, None, :]) ** 2, axis=-1)  # [i, j]
+    eq = (slot_idx[None, :] == slot_idx[:, None]) | (d2 < dedup_eps * dedup_eps)
     earlier = jnp.tril(jnp.ones((s, s), dtype=bool), k=-1)  # i < j as [j, i]? -> use transpose
     dup = jnp.any(eq & earlier.T & slot_valid[:, None], axis=0)
     unique = slot_valid & ~dup

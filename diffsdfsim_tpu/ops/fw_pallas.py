@@ -190,12 +190,12 @@ def _query(kind, scale, prm, x, y, z, need_grad=True):
 # --------------------------------------------------------------------------
 
 
-def _make_kernel(kind1, kind2, F_real, iters, eps, tol):
+def _make_kernel(kind1, kind2, F_real, iters, eps, tol, polish_iters):
     b1_is_sdf = kind1 != KIND_NONE
 
     def kernel(
         pqr_ref, c_ref,
-        abc_out, nrm_out, p1_out, pen_out, cand_out, cmask_out, mp_out,
+        abc_out, nrm_out, p1_out, x1_out, pen_out, cand_out, cmask_out, mp_out,
     ):
         C = c_ref[:]
         dtype = C.dtype
@@ -344,7 +344,62 @@ def _make_kernel(kind1, kind2, F_real, iters, eps, tol):
                 - s1v * (R12[0][c] * g1v[0] + R12[1][c] * g1v[1] + R12[2][c] * g1v[2])
                 for c in range(3)
             ]
-        fsdf, _ = q2_query(xf, need_grad=False)
+
+        def to_b2_from_b1(y):
+            return [
+                R12[0][c] * (y[0] - t12[0])
+                + R12[1][c] * (y[1] - t12[1])
+                + R12[2][c] * (y[2] - t12[2])
+                for c in range(3)
+            ]
+
+        if b1_is_sdf and polish_iters > 0:
+            # contact-point polish (ops/polish.py semantics, fused here):
+            # projected tangential descent of sdf2 along b1's level set,
+            # geometric step shrink, best-iterate tracking. Same VMEM-
+            # resident plane layout as the FW loop — ~polish_iters extra
+            # fused iterations instead of an XLA post-pass op chain.
+            xb1 = to_b1(xf)
+            s1b, g1b = q1_query(xb1)
+            bx = [xb1[i] - s1b * g1b[i] for i in range(3)]
+            bs2, _ = q2_query(to_b2_from_b1(bx), need_grad=False)
+
+            def pol_body(_, carry):
+                etaf, px0, px1, px2, bx0, bx1, bx2, bs2 = carry
+                px = [px0, px1, px2]
+                bxv = [bx0, bx1, bx2]
+                x1c = to_b1(px)
+                s1v, g1v = q1_query(x1c)
+                x1p = [x1c[i] - s1v * g1v[i] for i in range(3)]
+                xp = to_b2_from_b1(x1p)
+                s2v, g2 = q2_query(xp)
+                bf = (candf * (s2v < bs2).astype(dtype))
+                bxv = [bf * x1p[i] + (1.0 - bf) * bxv[i] for i in range(3)]
+                bs2 = bf * s2v + (1.0 - bf) * bs2
+                # b1 normal in b2 frame: R12^T g1
+                n1 = [
+                    R12[0][c] * g1v[0] + R12[1][c] * g1v[1] + R12[2][c] * g1v[2]
+                    for c in range(3)
+                ]
+                dot = g2[0] * n1[0] + g2[1] * n1[1] + g2[2] * n1[2]
+                t = [g2[c] - dot * n1[c] for c in range(3)]
+                tl = _norm3(t[0], t[1], t[2])
+                eta = rads * etaf
+                xn = [xp[c] - eta * t[c] / tl for c in range(3)]
+                px = [candf * xn[c] + (1.0 - candf) * px[c] for c in range(3)]
+                return (etaf * 0.5, px[0], px[1], px[2], bxv[0], bxv[1], bxv[2], bs2)
+
+            one = jnp.ones((bb, 1), dtype=dtype)
+            _, _, _, _, bx0, bx1, bx2, bs2 = jax.lax.fori_loop(
+                0, polish_iters, pol_body,
+                (one, xf[0], xf[1], xf[2], bx[0], bx[1], bx[2], bs2),
+            )
+            cb1a = [bx0, bx1, bx2]
+            fsdf = bs2
+        else:
+            fsdf, _ = q2_query(xf, need_grad=False)
+            cb1a = None
+
         cmask = cand & (fsdf <= eps)
         cmaskf = cmask.astype(dtype)
 
@@ -352,7 +407,8 @@ def _make_kernel(kind1, kind2, F_real, iters, eps, tol):
         # deferred to the differentiable recompute — it only selects which
         # body's normal is reported, never distances)
         if b1_is_sdf:
-            cb1a = to_b1(x)
+            if cb1a is None:
+                cb1a = to_b1(x)
             pd1, pn1 = q1_query(cb1a)
             cb1 = [cb1a[c] - pd1 * pn1[c] for c in range(3)]
         else:
@@ -377,10 +433,12 @@ def _make_kernel(kind1, kind2, F_real, iters, eps, tol):
         ]
         pen = -d2v
 
+        x1a = cb1a if b1_is_sdf else cb1
         for c in range(3):
             abc_out[:, c, :] = a[c]
             nrm_out[:, c, :] = nrm[c] * cmaskf
             p1_out[:, c, :] = p1w[c] * cmaskf
+            x1_out[:, c, :] = x1a[c]
         pen_out[:] = jnp.where(cmask, pen, -1.0)
         cand_out[:] = candf
         cmask_out[:] = cmaskf
@@ -393,7 +451,9 @@ def _make_kernel(kind1, kind2, F_real, iters, eps, tol):
     return kernel
 
 
-def _fw_pallas_flat(pqr, consts, kind1, kind2, F_real, iters, eps, tol, interpret):
+def _fw_pallas_flat(
+    pqr, consts, kind1, kind2, F_real, iters, eps, tol, polish_iters, interpret
+):
     """Unbatched-layout entry: pqr (B, 9, Fp), consts (B, NCONST)."""
     B, _, Fp = pqr.shape
     dtype = pqr.dtype
@@ -405,7 +465,7 @@ def _fw_pallas_flat(pqr, consts, kind1, kind2, F_real, iters, eps, tol, interpre
     # live-range union; an earlier (40, 9, 768) kind1=SDF variant measured
     # ~167/lane — size to the worst observed). Budget 14MB of the 16MB
     # scoped limit.
-    per_lane = Fp * 260 * 4
+    per_lane = Fp * 300 * 4
     # grid steps are SERIAL, so fewer+wider blocks win — but each step's FW
     # loop over a (block_b, Fp) tile is only ~tens of us, so modest widths
     # are acceptable at seed-batch x probe-ladder scale.
@@ -424,7 +484,7 @@ def _fw_pallas_flat(pqr, consts, kind1, kind2, F_real, iters, eps, tol, interpre
         )
 
     pqr_p, consts_p = padb(pqr), padb(consts)
-    kernel = _make_kernel(kind1, kind2, F_real, iters, eps, tol)
+    kernel = _make_kernel(kind1, kind2, F_real, iters, eps, tol, polish_iters)
 
     mat3 = pl.BlockSpec((block_b, 3, Fp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -435,13 +495,14 @@ def _fw_pallas_flat(pqr, consts, kind1, kind2, F_real, iters, eps, tol, interpre
             pl.BlockSpec((block_b, NCONST), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            mat3, mat3, mat3,
+            mat3, mat3, mat3, mat3,
             pl.BlockSpec((block_b, Fp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, Fp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, Fp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((Bp, 3, Fp), dtype),
             jax.ShapeDtypeStruct((Bp, 3, Fp), dtype),
             jax.ShapeDtypeStruct((Bp, 3, Fp), dtype),
             jax.ShapeDtypeStruct((Bp, 3, Fp), dtype),
@@ -455,12 +516,15 @@ def _fw_pallas_flat(pqr, consts, kind1, kind2, F_real, iters, eps, tol, interpre
     return tuple(o[:B] for o in out)
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
-def _fw_pallas_impl(pqr, consts, kind1, kind2, F_real, iters, eps, tol, interpret):
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def _fw_pallas_impl(
+    pqr, consts, kind1, kind2, F_real, iters, eps, tol, polish_iters, interpret
+):
     @jax.custom_batching.custom_vmap
     def impl(pqr, consts):
         return _fw_pallas_flat(
-            pqr, consts, kind1, kind2, F_real, iters, eps, tol, interpret
+            pqr, consts, kind1, kind2, F_real, iters, eps, tol, polish_iters,
+            interpret,
         )
 
     @impl.def_vmap
@@ -478,11 +542,16 @@ def _fw_pallas_impl(pqr, consts, kind1, kind2, F_real, iters, eps, tol, interpre
 
 
 @_fw_pallas_impl.defjvp
-def _fw_pallas_jvp(kind1, kind2, F_real, iters, eps, tol, interpret, primals, tangents):
+def _fw_pallas_jvp(
+    kind1, kind2, F_real, iters, eps, tol, polish_iters, interpret,
+    primals, tangents,
+):
     """Zero tangents: this is the gradient-free SEARCH phase (the reference
     runs it under torch.no_grad, contacts.py:255); gradients come from the
     differentiable contact recompute."""
-    out = _fw_pallas_impl(*primals, kind1, kind2, F_real, iters, eps, tol, interpret)
+    out = _fw_pallas_impl(
+        *primals, kind1, kind2, F_real, iters, eps, tol, polish_iters, interpret
+    )
     return out, jax.tree_util.tree_map(jnp.zeros_like, out)
 
 
@@ -540,9 +609,10 @@ def fw_search_pair(bd1s, q1, pos1, bd2s, q2, pos2, cfg, interpret=False):
     """Run the fused search for one directed pair (all inputs already
     stop-gradient, b1's surface mesh vs b2's SDF).
 
-    Returns (abc (F,3), n_ng (F,3), p1_ng (F,3), pen (F,), cand (F,) bool,
-    contact_mask (F,) bool, max_pen ()) — the no-grad quantities
-    physics/contacts._search_pair_raw_xla derives on the XLA path."""
+    Returns (abc (F,3), n_ng (F,3), p1_ng (F,3), x1 (F,3) b1-frame polished
+    anchors, pen (F,), cand (F,) bool, contact_mask (F,) bool, max_pen ()) —
+    the no-grad quantities physics/contacts._search_pair_raw_xla derives on
+    the XLA path (incl. the ops/polish.py polish stage, fused in-kernel)."""
     from ..utils.quaternion import quat_apply, quat_invert, quat_to_matrix
 
     dtype = q1.dtype
@@ -576,15 +646,16 @@ def fw_search_pair(bd1s, q1, pos1, bd2s, q2, pos2, cfg, interpret=False):
     )
     consts = jnp.pad(consts, (0, NCONST - consts.shape[0]))
 
-    abc, nrm, p1w, pen, cand, cmask, mp = _fw_pallas_impl(
+    abc, nrm, p1w, x1, pen, cand, cmask, mp = _fw_pallas_impl(
         pqr[None], consts[None], kind1, kind2, F_real, cfg.fw_iters,
-        float(cfg.eps), float(cfg.tol), interpret,
+        float(cfg.eps), float(cfg.tol),
+        int(cfg.contact_polish_iters) if bd1s.is_sdf else 0, interpret,
     )
     take = lambda x: x[0, :, :F_real].T  # (F, 3)
     max_pen = jnp.where(
         mp[0, 0] <= -1e30, jnp.asarray(-jnp.inf, dtype=dtype), mp[0, 0]
     )
     return (
-        take(abc), take(nrm), take(p1w), pen[0, :F_real],
+        take(abc), take(nrm), take(p1w), take(x1), pen[0, :F_real],
         cand[0, :F_real] > 0.5, cmask[0, :F_real] > 0.5, max_pen,
     )

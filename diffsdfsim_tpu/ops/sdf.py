@@ -203,16 +203,25 @@ def grid_sdf_raw(pts, grid):
 
 
 def grid_grad_volume(grid):
-    """Central-difference gradient volume (3, X, Y, Z) (reference :224-234)."""
-    z = jnp.zeros_like
+    """Central-difference gradient volume (3, X, Y, Z) (reference :224-234),
+    with ONE-SIDED differences on the boundary slabs (np.gradient-style).
+    Zeroed boundary slabs left template projection (ops/surface.py) and the
+    contact polish with grad=0 for points exactly on the grid-domain faces —
+    axis-direction template verts then never projected onto the surface and
+    the body rested on phantom vertices 50% outside its true surface."""
     gx = jnp.concatenate(
-        [z(grid[:1]), (grid[2:] - grid[:-2]) / 2.0, z(grid[:1])], axis=0
+        [grid[1:2] - grid[:1], (grid[2:] - grid[:-2]) / 2.0, grid[-1:] - grid[-2:-1]],
+        axis=0,
     )
     gy = jnp.concatenate(
-        [z(grid[:, :1]), (grid[:, 2:] - grid[:, :-2]) / 2.0, z(grid[:, :1])], axis=1
+        [grid[:, 1:2] - grid[:, :1], (grid[:, 2:] - grid[:, :-2]) / 2.0,
+         grid[:, -1:] - grid[:, -2:-1]],
+        axis=1,
     )
     gz = jnp.concatenate(
-        [z(grid[:, :, :1]), (grid[:, :, 2:] - grid[:, :, :-2]) / 2.0, z(grid[:, :, :1])], axis=2
+        [grid[:, :, 1:2] - grid[:, :, :1], (grid[:, :, 2:] - grid[:, :, :-2]) / 2.0,
+         grid[:, :, -1:] - grid[:, :, -2:-1]],
+        axis=2,
     )
     return jnp.stack([gx, gy, gz], axis=0)
 

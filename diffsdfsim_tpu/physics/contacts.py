@@ -31,6 +31,7 @@ from flax import struct
 from ..config import SimConfig
 from ..ops.filtering import filter_contacts
 from ..ops.frank_wolfe import finalize_fw, frank_wolfe_multi
+from ..ops.polish import polish_pair
 from ..utils.quaternion import quat_apply, quat_invert, quat_multiply
 from .bodies import BodyDef
 
@@ -92,12 +93,23 @@ def _compute_contacts(
     eps: float,
     detach_contact_b2: bool,
     with_stability: bool = True,
+    anchor_b1=None,
 ):
     """Differentiable contact recompute (reference _compute_contacts,
-    contacts.py:161-214) for a masked set of (abc, face) candidates."""
-    faces = jnp.asarray(bd1.faces)[face_idx]  # (N,3)
-    tri = bd1.verts[faces]  # (N,3,3)
-    cp_b1 = jnp.sum(tri * abc[..., None], axis=1)
+    contacts.py:161-214) for a masked set of (abc, face) candidates.
+
+    With `anchor_b1` (N,3, stop-gradient body-1-frame points from the polish
+    stage, ops/polish.py), the barycentric point is replaced by the anchor;
+    gradients w.r.t. shape/pose flow through the differentiable surface
+    projection below exactly as for the bary point (to first order at the
+    surface the two parametrizations have the same derivative — the bary
+    path's vertex motion is radial through sdf1 too)."""
+    if anchor_b1 is not None:
+        cp_b1 = jax.lax.stop_gradient(anchor_b1)
+    else:
+        faces = jnp.asarray(bd1.faces)[face_idx]  # (N,3)
+        tri = bd1.verts[faces]  # (N,3,3)
+        cp_b1 = jnp.sum(tri * abc[..., None], axis=1)
 
     if bd1.is_sdf:
         d1, n1 = bd1.query_sdfs(cp_b1)
@@ -150,6 +162,9 @@ class PairCache(NamedTuple):
     sel_idx: jnp.ndarray  # (K,) int32 face indices
     sel_valid: jnp.ndarray  # (K,) bool
     max_pen: jnp.ndarray  # () over ALL candidates (step acceptance)
+    # (K,3) polished body-1-frame anchors (ops/polish.py); consumed by the
+    # recompute instead of bary(abc) when the pair polishes (zeros otherwise)
+    x1_sel: jnp.ndarray = None
 
 
 class RawPairSearch(NamedTuple):
@@ -166,6 +181,15 @@ class RawPairSearch(NamedTuple):
     pen: jnp.ndarray  # (F,)
     cmask: jnp.ndarray  # (F,) bool contact mask
     max_pen: jnp.ndarray  # ()
+    # (F,3) polished body-1-frame anchors (zeros when the pair cannot polish)
+    x1: jnp.ndarray = None
+
+
+def _pair_polishes(bd1: BodyDef, cfg: SimConfig) -> bool:
+    """Static: does this directed pair run the contact polish (ops/polish.py)?
+    Needs body 1 queryable as an SDF (the tangential descent projects onto
+    body 1's level set each iteration)."""
+    return cfg.contact_polish_iters > 0 and bd1.is_sdf
 
 
 def _fw_setup(bd1: BodyDef, q1, pos1, bd2: BodyDef, q2, pos2):
@@ -215,6 +239,20 @@ def _search_pair_raw_xla(
     # branches execute — unavoidable cond semantics)
     def with_candidates(_):
         fwf = finalize_fw(fw, lambda p: bd2s.query_sdfs(p), cfg.eps, push_fn)
+        x1 = jnp.zeros((F, 3), dtype=dtype)
+        cmask = fwf.contact_mask
+        if _pair_polishes(bd1, cfg):
+            # polish each candidate's FW point along bd1's analytic surface;
+            # step scale = face circumradius (the FW point's error bound)
+            rads = jnp.max(
+                jnp.linalg.norm(jnp.mean(pqr, axis=1)[:, None, :] - pqr, axis=-1),
+                axis=1,
+            )
+            x1, s2p = polish_pair(
+                fwf.x, fw.cand, rads, bd1s, q1s, p1s, bd2s, q2s, p2s,
+                cfg.contact_polish_iters,
+            )
+            cmask = fw.cand & (s2p <= cfg.eps)
         # no-grad contact quantities over all faces (filtering + acceptance).
         # The Laplacian stability test is skipped here: it selects WHICH
         # body's normal to report (contacts.py:184-202) but never changes
@@ -223,13 +261,14 @@ def _search_pair_raw_xla(
         # unaffected. The differentiable recompute applies the exact test.
         n_ng, p1_ng, _, pen_ng = _compute_contacts(
             bd1s, q1s, p1s, bd2s, q2s, p2s,
-            sg(fwf.abc), jnp.arange(F), fwf.contact_mask,
+            sg(fwf.abc), jnp.arange(F), cmask,
             cfg.eps, cfg.detach_contact_b2, with_stability=False,
+            anchor_b1=x1 if _pair_polishes(bd1, cfg) else None,
         )
-        max_pen = jnp.max(jnp.where(fwf.contact_mask, pen_ng, -jnp.inf))
+        max_pen = jnp.max(jnp.where(cmask, pen_ng, -jnp.inf))
         return RawPairSearch(
             abc=sg(fwf.abc), n_ng=n_ng, p1_ng=p1_ng, pen=pen_ng,
-            cmask=fwf.contact_mask, max_pen=max_pen,
+            cmask=cmask, max_pen=max_pen, x1=x1,
         )
 
     def without_candidates(_):
@@ -240,6 +279,7 @@ def _search_pair_raw_xla(
             pen=jnp.full((F,), -1.0, dtype=dtype),
             cmask=jnp.zeros((F,), dtype=bool),
             max_pen=jnp.asarray(-jnp.inf, dtype=dtype),
+            x1=jnp.zeros((F, 3), dtype=dtype),
         )
 
     raw = jax.lax.cond(jnp.any(fw.cand), with_candidates, without_candidates, None)
@@ -273,7 +313,7 @@ def _search_pair_raw_pallas(
     bd2s = jax.tree_util.tree_map(sg, bd2)
     interpret = jax.default_backend() != "tpu"
 
-    abc, n_ng, p1_ng, pen, cand, cmask, max_pen = fw_pallas.fw_search_pair(
+    abc, n_ng, p1_ng, x1, pen, cand, cmask, max_pen = fw_pallas.fw_search_pair(
         bd1s, q1s, p1s, bd2s, q2s, p2s, cfg, interpret=interpret
     )
     if bd1.face_valid is not None:
@@ -281,7 +321,8 @@ def _search_pair_raw_pallas(
         cmask = cmask & fv
         max_pen = jnp.max(jnp.where(cmask, pen, -jnp.inf))
     return RawPairSearch(
-        abc=abc, n_ng=n_ng, p1_ng=p1_ng, pen=pen, cmask=cmask, max_pen=max_pen
+        abc=abc, n_ng=n_ng, p1_ng=p1_ng, pen=pen, cmask=cmask,
+        max_pen=max_pen, x1=x1,
     )
 
 
@@ -307,7 +348,7 @@ def cache_from_raw(raw: RawPairSearch, cfg: SimConfig) -> PairCache:
         )
         return PairCache(
             abc_sel=raw.abc[sel_idx], sel_idx=sel_idx, sel_valid=sel_valid,
-            max_pen=raw.max_pen,
+            max_pen=raw.max_pen, x1_sel=raw.x1[sel_idx],
         )
 
     def without_candidates(_):
@@ -317,6 +358,7 @@ def cache_from_raw(raw: RawPairSearch, cfg: SimConfig) -> PairCache:
             sel_idx=jnp.zeros((k,), dtype=jnp.int32),
             sel_valid=jnp.zeros((k,), dtype=bool),
             max_pen=raw.max_pen,
+            x1_sel=jnp.zeros((k, 3), dtype=dtype),
         )
 
     cache = jax.lax.cond(
@@ -358,6 +400,7 @@ def find_contacts_pair(
         bd1, q1, pos1, bd2, q2, pos2,
         cache.abc_sel, cache.sel_idx, cache.sel_valid,
         cfg.eps, cfg.detach_contact_b2, with_stability=True,
+        anchor_b1=cache.x1_sel if _pair_polishes(bd1, cfg) else None,
     )
     return normals, p1c, p2c, pens, cache.sel_valid, cache.max_pen
 
