@@ -364,7 +364,7 @@ def _make_kernel(kind1, kind2, F_real, iters, eps, tol, polish_iters):
             bx = [xb1[i] - s1b * g1b[i] for i in range(3)]
             bs2, _ = q2_query(to_b2_from_b1(bx), need_grad=False)
 
-            def pol_body(_, carry):
+            def pol_body(carry):
                 etaf, px0, px1, px2, bx0, bx1, bx2, bs2 = carry
                 px = [px0, px1, px2]
                 bxv = [bx0, bx1, bx2]
@@ -389,10 +389,28 @@ def _make_kernel(kind1, kind2, F_real, iters, eps, tol, polish_iters):
                 px = [candf * xn[c] + (1.0 - candf) * px[c] for c in range(3)]
                 return (etaf * 0.5, px[0], px[1], px[2], bxv[0], bxv[1], bxv[2], bs2)
 
+            # while_loop (all-f32 carries) instead of a fixed fori: a block
+            # with NO candidates (free flight, the far direction of a gated
+            # pair) exits before the first iteration instead of paying
+            # polish_iters wasted query rounds — same early-exit rule as the
+            # FW loop above
             one = jnp.ones((bb, 1), dtype=dtype)
-            _, _, _, _, bx0, bx1, bx2, bs2 = jax.lax.fori_loop(
-                0, polish_iters, pol_body,
-                (one, xf[0], xf[1], xf[2], bx[0], bx[1], bx[2], bs2),
+            pol_active = jnp.max(candf, axis=-1, keepdims=True)  # (bb,1)
+
+            def pol_cond(carry):
+                itf = carry[0]
+                return (jnp.min(itf) < polish_iters) & (jnp.max(pol_active) > 0.0)
+
+            def pol_step(carry):
+                itf = carry[0]
+                return (itf + 1.0,) + pol_body(carry[1:])
+
+            _, _, _, _, _, bx0, bx1, bx2, bs2 = jax.lax.while_loop(
+                pol_cond, pol_step,
+                (
+                    jnp.zeros((bb, 1), dtype=dtype),
+                    one, xf[0], xf[1], xf[2], bx[0], bx[1], bx[2], bs2,
+                ),
             )
             cb1a = [bx0, bx1, bx2]
             fsdf = bs2
