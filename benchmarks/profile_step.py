@@ -149,7 +149,8 @@ def main():
         results["inv+matvec 46x46"] = per_iter_time(inv_body, x0)
         results["chol+solve 46x46"] = per_iter_time(chol_body, x0)
 
-    if want & {"pdipm", "fw", "recompute", "stepframe", "rollout", "probe", "ladder"}:
+    if want & {"pdipm", "fw", "recompute", "stepframe", "rollout", "probe",
+               "ladder", "stepdt", "finish", "stepframebwd"}:
         spec, state = build_scene(drop=drop)
         from diffsdfsim_tpu.physics.contacts import find_contacts, search_contacts
         from diffsdfsim_tpu.physics.engine import solve_dynamics
@@ -239,6 +240,65 @@ def main():
 
         results["find_contacts recompute (cached)"] = per_iter_time(
             rc_body, state.pos, k_small=16, k_big=64
+        )
+
+    if "stepdt" in want:
+        from diffsdfsim_tpu.physics.world import step_dt
+
+        def sd_body(st):
+            st2, _rec = step_dt(spec, st, jnp.asarray(cfg.dt, st.pos.dtype))
+            return st2
+
+        results["step_dt (probe + finish)"] = per_iter_time(
+            sd_body, state, k_small=8, k_big=32
+        )
+
+    if "finish" in want:
+        from diffsdfsim_tpu.physics.world import (
+            _accept_thresh,
+            _probe_ladder,
+            finish_step,
+        )
+
+        dt0 = jnp.asarray(cfg.dt, state.pos.dtype)
+        k0, ok0, cache0 = jax.jit(
+            lambda st: _probe_ladder(spec, st, dt0, _accept_thresh(spec, st))
+        )(state)
+
+        def fin_body(st):
+            st2, _rec = finish_step(spec, st, dt0, k0, ok0, cache0)
+            return st2
+
+        results["finish_step (replay tail, cached probe)"] = per_iter_time(
+            fin_body, state, k_small=8, k_big=32
+        )
+
+        def fin_grad_body(st):
+            def loss(pos):
+                st2, _rec = finish_step(
+                    spec, st.replace(pos=pos), dt0, k0, ok0, cache0
+                )
+                return jnp.sum(st2.pos**2) + jnp.sum(st2.v**2)
+
+            g = jax.grad(loss)(st.pos)
+            return st.replace(pos=st.pos + 0.0 * g)
+
+        results["finish_step (fwd+bwd, cached probe)"] = per_iter_time(
+            fin_grad_body, state, k_small=8, k_big=32
+        )
+
+    if "stepframebwd" in want:
+
+        def sf_grad_body(st):
+            def loss(pos):
+                st2, _, _, _ = step_frame(spec, st.replace(pos=pos))
+                return jnp.sum(st2.pos**2) + jnp.sum(st2.v**2)
+
+            g = jax.grad(loss)(st.pos)
+            return st.replace(pos=st.pos + 0.0 * g)
+
+        results["step_frame (fwd+bwd)"] = per_iter_time(
+            sf_grad_body, state, k_small=8, k_big=32
         )
 
     if "stepframe" in want:

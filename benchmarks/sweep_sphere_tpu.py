@@ -59,6 +59,7 @@ names = names or list(ALL_CONFIGS)
 OUT = Path("outputs") / outdir
 OUT.mkdir(parents=True, exist_ok=True)
 N_CHUNKS, CHUNK = 5, 10
+CHUNK0 = int(overrides.pop("chunk0", 0))  # resume: skip chunks < CHUNK0, append to pkl
 for tag in names:
     c = dict(DEFAULTS)
     c.update(ALL_CONFIGS[tag])
@@ -90,7 +91,12 @@ for tag in names:
         return rad, opt_state, val, done
 
     all_err = []
-    for chunk in range(N_CHUNKS):
+    if CHUNK0 > 0 and (OUT / f"{tag}.pkl").exists():
+        prev = pickle.load(open(OUT / f"{tag}.pkl", "rb"))["errs"]
+        all_err.append(prev[: CHUNK0 * CHUNK])
+        print(f"{tag}: resuming at chunk {CHUNK0} with {all_err[0].size} prior errs",
+              flush=True)
+    for chunk in range(CHUNK0, N_CHUNKS):
         t0 = time.time()
         keys = jax.random.split(jax.random.PRNGKey(100 + chunk), CHUNK)
         target_rad, start_rad = jax.vmap(lambda k: sample_params(k, c))(keys)

@@ -38,17 +38,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .contacts import finish_contacts
+from .contacts import finish_contacts, find_contacts
+from .engine import post_stabilization
 from .world import (
     StepRecord,
     Trajectory,
     WorldSpec,
     WorldState,
     _accept_thresh,
+    _integrate,
     _probe_rung0,
     _probe_rungs,
+    _replay,
     _spec_with_bodies,
-    finish_step,
+    _toc_recompute,
 )
 
 
@@ -161,14 +164,113 @@ def _probe_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b):
     return k, ok, jax.tree_util.tree_map(sg, cache)
 
 
+def finish_step_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b, k_b,
+                        ok_b, cache_b):
+    """Differentiable substep tail for the whole batch (world.finish_step per
+    lane), with the TOC re-emission under a WHOLE-BATCH lax.cond.
+
+    A vmapped finish_step turns the per-lane TOC cond into run-both-branches
+    (cond->select under vmap), so every lane paid the gap jvp+vjp — forward
+    AND backward — on every substep, including all of free flight and resting
+    contact. Here the predicate reduces over lanes: only substeps where SOME
+    lane gains a new contact (bounce frames) execute the vmapped TOC block;
+    lanes without a new contact inside it are masked back by select, which is
+    exactly what the old run-both path computed for them."""
+    cfg = spec.cfg
+    dtype = state_b.pos.dtype
+    sg = jax.lax.stop_gradient
+
+    def diff_block(bodies_b, state_b, dt_k_b, cache_b):
+        if cfg.time_of_contact_diff:
+            use_pair = state_b.had_toc
+        else:
+            use_pair = jnp.zeros(dt_k_b.shape, dtype=bool)
+        dt_p = -state_b.last_dt + (sg(state_b.last_dt) + dt_k_b)
+        dt_ = jnp.where(use_pair, dt_p, dt_k_b)
+
+        def rep(bd, st, d, ca):
+            return _replay(_spec_with_bodies(spec, bd), st, d, ca)
+
+        new_v, q2, p2, contacts = jax.vmap(rep)(bodies_b, state_b, dt_, cache_b)
+
+        if cfg.time_of_contact_diff:
+            pair_act = jnp.take_along_axis(
+                state_b.contacts.pair_active, contacts.pair_id, axis=-1
+            )
+            toc_mask = contacts.valid & ~pair_act
+            any_lane = jnp.any(toc_mask, axis=-1)  # (B,)
+            op = (new_v, q2, p2, contacts, dt_, toc_mask)
+
+            def toc_all(op):
+                new_v, q2, p2, contacts, dt_, toc_mask = op
+
+                def one(bd, st, nv, q, p, ct, d, tm):
+                    return _toc_recompute(
+                        _spec_with_bodies(spec, bd), st, nv, q, p, ct, d, tm
+                    )
+
+                q2t, p2t, dt_toc = jax.vmap(one)(
+                    bodies_b, state_b, new_v, q2, p2, contacts, dt_, toc_mask
+                )
+                return _select_lanes(
+                    any_lane, (q2t, p2t, dt_toc), (q2, p2, state_b.last_dt)
+                )
+
+            def no_toc(op):
+                _, q2, p2, _, _, _ = op
+                return q2, p2, state_b.last_dt
+
+            q2, p2, last_dt = jax.lax.cond(jnp.any(any_lane), toc_all, no_toc, op)
+            had_toc = any_lane
+        else:
+            last_dt = state_b.last_dt
+            had_toc = jnp.zeros(dt_k_b.shape, dtype=bool)
+
+        if cfg.post_stab:
+
+            def ps(bd, q2, p2, nv, st, ct, ld, ht, dtk):
+                s = _spec_with_bodies(spec, bd)
+                dp = post_stabilization(
+                    s.bodies, s.joints,
+                    WorldState(q2, p2, nv, st.t, ct, ld, ht), ct, cfg,
+                ).reshape(-1, 6) / 2.0
+                q2n, p2n = _integrate(q2, p2, dp, dtk)
+                ct2 = find_contacts(
+                    s.bodies, q2n, p2n, s.directed_pairs, s.n_unordered, cfg
+                )
+                return q2n, p2n, ct2
+
+            q2, p2, contacts = jax.vmap(ps)(
+                bodies_b, q2, p2, new_v, state_b, contacts, last_dt, had_toc,
+                dt_k_b,
+            )
+
+        return new_v, q2, p2, contacts, last_dt, had_toc
+
+    if cfg.remat_replay:
+        diff_block = jax.checkpoint(diff_block)
+
+    dt_k_b = dt_frame_b * 0.5 ** k_b.astype(dtype)
+    new_v, q2, p2, contacts, last_dt, had_toc = diff_block(
+        bodies_b, state_b, dt_k_b, cache_b
+    )
+
+    new_state = WorldState(
+        quat=q2, pos=p2, v=new_v, t=state_b.t + sg(dt_k_b),
+        contacts=contacts, last_dt=last_dt, had_toc=had_toc,
+    )
+    rec = StepRecord(
+        t=state_b.t, quat=q2, pos=p2, v=new_v,
+        valid=jnp.ones(ok_b.shape, dtype=bool),
+        bisect_failed=~ok_b, n_halvings=k_b,
+    )
+    return new_state, rec
+
+
 def step_dt_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b):
     """One substep for the whole batch (see step_dt)."""
     k, ok, cache = _probe_batched(spec, bodies_b, state_b, dt_frame_b)
-
-    def tail(bd, st, dtf, kk, o, ca):
-        return finish_step(_spec_with_bodies(spec, bd), st, dtf, kk, o, ca)
-
-    return jax.vmap(tail)(bodies_b, state_b, dt_frame_b, k, ok, cache)
+    return finish_step_batched(spec, bodies_b, state_b, dt_frame_b, k, ok, cache)
 
 
 def _skip_record(st: WorldState):

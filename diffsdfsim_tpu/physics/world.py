@@ -465,20 +465,20 @@ def _probe_ladder_gated(spec: WorldSpec, state: WorldState, dt_frame, thresh):
 
 
 def _probe_ladder(spec: WorldSpec, state: WorldState, dt_frame, thresh):
-    """Bisection probe with a rung-0 fast path.
+    """Bisection probe: staged batched ladder (reference world.py:344-356
+    smallest-passing-dt semantics in one or two batched probes).
 
-    Most substeps (free flight, resting contact under the non-worsening
-    acceptance) accept the FULL frame dt; paying the whole D-deep ladder
-    there is pure waste (~D x the search + solve). With
-    cfg.ladder_fast_path (default True) rung 0 is probed first and the
-    remaining ladder runs under a lax.cond only on rejection.
+    With cfg.ladder_fast_path (default True) rungs 0..ladder_stage1 are
+    probed in one batched PDIPM call + vmapped searches; the deep rungs run
+    under a lax.cond only when the whole shallow stage fails
+    (_probe_ladder_full).
 
     Under vmap a lax.cond executes BOTH branches for every lane, so the
-    plain fast path would only add the rung-0 cost on top of the full
-    ladder; batched drivers (bench --batch, run_sweep_hostloop) disable it
-    via cfg.ladder_fast_path=False and opt into the whole-batch
-    custom_vmap gate (cfg.ladder_batch_gate, see _probe_ladder_gated)
-    when their joints/forces hold no per-lane tracers."""
+    staging would only add cost; batched drivers (bench --batch,
+    run_sweep_hostloop) disable it via cfg.ladder_fast_path=False and opt
+    into the whole-batch custom_vmap gate (cfg.ladder_batch_gate, see
+    _probe_ladder_gated) when their joints/forces hold no per-lane
+    tracers."""
     cfg = spec.cfg
     sg = jax.lax.stop_gradient
     state = jax.tree_util.tree_map(sg, state)
@@ -493,26 +493,17 @@ def _probe_ladder(spec: WorldSpec, state: WorldState, dt_frame, thresh):
         cache = jax.tree_util.tree_map(jax.lax.stop_gradient, (cc, sol_k))
         return k, any_ok, cache
 
-    if cfg.max_bisect == 0:
-        # the ladder IS rung 0: nothing further to probe on rejection
-        ok0, cache0 = _probe_rung0(spec, state, dt_frame, thresh)
-        cache0 = jax.tree_util.tree_map(sg, cache0)
-        return jnp.zeros((), dtype=jnp.int32), ok0, cache0
-
-    ok0, cache0 = _probe_rung0(spec, state, dt_frame, thresh)
-
-    def fast(_):
-        return jnp.zeros((), dtype=jnp.int32), jnp.asarray(True), cache0
-
-    def slow(_):
-        # rung 0 is known-failed here — start the ladder at rung 1
-        k, any_ok, cc, sol_k = _probe_ladder_full(
-            spec, state, dt_frame, thresh, first_rung=1
-        )
-        return k, any_ok, (cc, sol_k)
-
-    k, any_ok, cache = jax.lax.cond(ok0, fast, slow, None)
-    cache = jax.tree_util.tree_map(jax.lax.stop_gradient, cache)
+    # Merged first stage: probe rungs 0..ladder_stage1 in ONE batched call.
+    # An earlier fast path probed rung 0 alone and entered the ladder under a
+    # cond on rejection — tuned for free flight. The bench bounce histogram
+    # (243 substeps: 99 accept rung 0, 136 select rung 2) shows the contact
+    # regime dominates, and there the rung-0-first path paid TWO probe
+    # stages. The Pallas PDIPM batches rungs on sublanes (D=3 costs about
+    # one solve), so probing the shallow stage together makes contact
+    # substeps one-stage at the price of two extra (early-exiting) contact
+    # searches during free flight.
+    k, any_ok, cc, sol_k = _probe_ladder_full(spec, state, dt_frame, thresh)
+    cache = jax.tree_util.tree_map(sg, (cc, sol_k))
     return k, any_ok, cache
 
 
@@ -544,6 +535,39 @@ def step_dt(spec: WorldSpec, state: WorldState, dt_frame):
     thresh = _accept_thresh(spec, state)
     k, ok_final, cache = _probe_ladder(spec, state, dt_frame, thresh)
     return finish_step(spec, state, dt_frame, k, ok_final, cache)
+
+
+def _toc_recompute(spec, state, new_v, q2, p2, contacts, dt_, toc_mask):
+    """TOC differential re-emission (reference world.py:272-341): reconstruct
+    the step-start contact geometry, re-emit dt through the toc_dt custom_vjp
+    (gap jvp+vjp), and replay the move with the gradient-carrying dt.
+    Numerically an identity; only the tape changes. Shared by the
+    single-rollout cond branch (finish_step) and the batched whole-batch TOC
+    gate (batched.finish_step_batched)."""
+    af = apply_forces(spec.bodies, spec.forces, state.t).reshape(-1, 6)
+    masses = jnp.stack([b.mass for b in spec.bodies])
+    accel = af / masses[:, None]
+
+    i1, i2 = contacts.i1, contacts.i2
+    vs1, vs2 = new_v[i1], new_v[i2]
+    poss1 = p2[i1] - dt_ * vs1[:, 3:]
+    poss2 = p2[i2] - dt_ * vs2[:, 3:]
+    rot_back1 = so3_exp_map(-dt_ * vs1[:, :3])
+    rot_back2 = so3_exp_map(-dt_ * vs2[:, :3])
+    rots1 = rot_back1 @ quat_to_matrix(q2[i1])
+    rots2 = rot_back2 @ quat_to_matrix(q2[i2])
+    cs1 = (jnp.swapaxes(rots1, -1, -2) @ contacts.p1[..., None])[..., 0]
+    cs2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.p2[..., None])[..., 0]
+    ns2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.normal[..., None])[..., 0]
+
+    args = TocArgs(
+        cs1=cs1, cs2=cs2, vs1=vs1, vs2=vs2,
+        poss1=poss1, poss2=poss2, rots1=rots1, rots2=rots2,
+        ns2=ns2, as1=accel[i1], as2=accel[i2],
+    )
+    dt_toc = toc_dt(dt_, args, toc_mask)
+    q2t, p2t = _integrate(state.quat, state.pos, new_v, dt_toc)
+    return q2t, p2t, dt_toc
 
 
 def finish_step(spec: WorldSpec, state: WorldState, dt_frame, k, ok_final, cache):
@@ -581,38 +605,15 @@ def finish_step(spec: WorldSpec, state: WorldState, dt_frame, k, ok_final, cache
                 single-rollout path skips its forward AND backward (the gap
                 jvp+vjp) on every substep with no NEW contact — i.e. all of
                 free flight and resting contact; only bounce substeps pay.
-                Vmapped/batched callers execute both branches (cond->select
-                semantics), exactly the unconditional cost they paid before.
+                Batched callers gate at the whole-batch level instead
+                (batched.finish_step_batched).
                 toc_dt is a custom_vjp (not custom_vmap), so nesting it in a
                 vmapped cond is safe (CLAUDE.md custom_vmap gotcha does not
                 apply)."""
                 new_v, q2, p2, contacts, dt_, toc_mask = op
-                af = apply_forces(spec.bodies, spec.forces, state.t).reshape(-1, 6)
-                masses = jnp.stack([b.mass for b in spec.bodies])
-                accel = af / masses[:, None]
-
-                i1, i2 = contacts.i1, contacts.i2
-                vs1, vs2 = new_v[i1], new_v[i2]
-                poss1 = p2[i1] - dt_ * vs1[:, 3:]
-                poss2 = p2[i2] - dt_ * vs2[:, 3:]
-                rot_back1 = so3_exp_map(-dt_ * vs1[:, :3])
-                rot_back2 = so3_exp_map(-dt_ * vs2[:, :3])
-                rots1 = rot_back1 @ quat_to_matrix(q2[i1])
-                rots2 = rot_back2 @ quat_to_matrix(q2[i2])
-                cs1 = (jnp.swapaxes(rots1, -1, -2) @ contacts.p1[..., None])[..., 0]
-                cs2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.p2[..., None])[..., 0]
-                ns2 = (jnp.swapaxes(rots2, -1, -2) @ contacts.normal[..., None])[..., 0]
-
-                args = TocArgs(
-                    cs1=cs1, cs2=cs2, vs1=vs1, vs2=vs2,
-                    poss1=poss1, poss2=poss2, rots1=rots1, rots2=rots2,
-                    ns2=ns2, as1=accel[i1], as2=accel[i2],
+                return _toc_recompute(
+                    spec, state, new_v, q2, p2, contacts, dt_, toc_mask
                 )
-                dt_toc = toc_dt(dt_, args, toc_mask)
-                # redo the move with the gradient-carrying dt
-                # (world.py:329-341); numerically identical, so always replay
-                q2t, p2t = _integrate(state.quat, state.pos, new_v, dt_toc)
-                return q2t, p2t, dt_toc
 
             def no_toc_block(op):
                 _, q2, p2, _, _, _ = op
