@@ -61,12 +61,12 @@ def build(y0):
             [floor, sphere],
             poses,
             vels,
-            constraints=[(0, TotalConstraint3D())],
-            forces=[(1, Gravity3D())],
+            joints=(TotalConstraint3D(body1=0),),
+            forces=((), (Gravity3D(10.0),)),
             cfg=cfg,
         )
         final, traj = rollout(spec, state, n_frames=N_FRAMES)
-        return jnp.sum(final.pose[1, 4:7] ** 2)
+        return jnp.sum(final.pos[1] ** 2)
 
     return jax.jit(loss_fn)
 

@@ -61,7 +61,7 @@ def per_iter_time(body_fn, arg, k_small=K_SMALL, k_big=K_BIG):
     return max(t_big - t_small, 1e-12) / (k_big - k_small)
 
 
-def build_scene(drop=False):
+def build_scene(drop=False, remat_frames=False):
     from diffsdfsim_tpu.config import SimConfig
     from diffsdfsim_tpu.physics import (
         BoxShape,
@@ -80,6 +80,7 @@ def build_scene(drop=False):
         max_substeps=4,
         max_bisect=8,
         tol=1e-5,
+        remat_frames=remat_frames,
         # the resting pose (y=0.4999) starts 1e-4 penetrated on purpose —
         # worst-case bisection pressure — so skip the construction assert
         strict_no_penetration=False,
@@ -103,8 +104,9 @@ def build_scene(drop=False):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "drop"]
+    argv = [a for a in sys.argv[1:] if a not in ("drop", "remat")]
     drop = "drop" in sys.argv[1:]
+    remat = "remat" in sys.argv[1:]
     want = set(argv) or {
         "linalg",
         "pdipm",
@@ -151,7 +153,7 @@ def main():
 
     if want & {"pdipm", "fw", "recompute", "stepframe", "rollout", "probe",
                "ladder", "stepdt", "finish", "stepframebwd"}:
-        spec, state = build_scene(drop=drop)
+        spec, state = build_scene(drop=drop, remat_frames=remat)
         from diffsdfsim_tpu.physics.contacts import find_contacts, search_contacts
         from diffsdfsim_tpu.physics.engine import solve_dynamics
         from diffsdfsim_tpu.physics.world import step_frame
@@ -285,6 +287,80 @@ def main():
 
         results["finish_step (fwd+bwd, cached probe)"] = per_iter_time(
             fin_grad_body, state, k_small=8, k_big=32
+        )
+
+    if "stepframebwdgeom" in want or "finishbwdgeom" in want:
+        # isolate the geometry-cotangent backward (bench.py differentiates
+        # wrt sphere radius, so verts + SDF params carry cotangents through
+        # every substep's contact recompute — the pos-grad profile misses it)
+        from diffsdfsim_tpu.physics.world import _spec_with_bodies
+
+        def _scaled_spec(s):
+            b = spec.bodies[1]
+            b2 = b.replace(
+                verts=b.verts * s,
+                shape=jax.tree_util.tree_map(lambda x: x * s, b.shape),
+            )
+            return _spec_with_bodies(spec, (spec.bodies[0], b2))
+
+    if "stepframebwdgeom" in want:
+
+        def sf_geom_body(st):
+            def loss(s):
+                st2, _, _, _ = step_frame(_scaled_spec(s), st)
+                return jnp.sum(st2.pos**2) + jnp.sum(st2.v**2)
+
+            g = jax.grad(loss)(jnp.asarray(1.0, st.pos.dtype))
+            return st.replace(pos=st.pos + 0.0 * g)
+
+        results["step_frame (fwd+bwd wrt geometry)"] = per_iter_time(
+            sf_geom_body, state, k_small=8, k_big=32
+        )
+
+    if "finishbwdgeom" in want:
+        from diffsdfsim_tpu.physics.world import (
+            _accept_thresh as _ath,
+            _probe_ladder as _pl,
+            finish_step as _fs,
+        )
+
+        dt0g = jnp.asarray(cfg.dt, state.pos.dtype)
+        k0g, ok0g, cache0g = jax.jit(
+            lambda st: _pl(spec, st, dt0g, _ath(spec, st))
+        )(state)
+
+        def fin_geom_body(st):
+            def loss(s):
+                st2, _rec = _fs(_scaled_spec(s), st, dt0g, k0g, ok0g, cache0g)
+                return jnp.sum(st2.pos**2) + jnp.sum(st2.v**2)
+
+            g = jax.grad(loss)(jnp.asarray(1.0, st.pos.dtype))
+            return st.replace(pos=st.pos + 0.0 * g)
+
+        results["finish_step (fwd+bwd wrt geometry)"] = per_iter_time(
+            fin_geom_body, state, k_small=8, k_big=32
+        )
+
+    if "stepframebwdfull" in want:
+        # seed cotangents on the FULL output state (incl. stored contacts
+        # and last_dt) — what the rollout chain actually demands of each
+        # frame's transpose; the pos/v-only loss lets XLA DCE the stored-
+        # contacts and TOC-pairing cotangent paths
+        def sf_grad_full_body(st):
+            def loss(pos):
+                st2, _, _, _ = step_frame(spec, st.replace(pos=pos))
+                leaves = jax.tree_util.tree_leaves(st2)
+                return sum(
+                    jnp.sum(x.astype(st.pos.dtype) ** 2)
+                    for x in leaves
+                    if jnp.issubdtype(x.dtype, jnp.floating)
+                )
+
+            g = jax.grad(loss)(st.pos)
+            return st.replace(pos=st.pos + 0.0 * g)
+
+        results["step_frame (fwd+bwd, full-state cotangents)"] = per_iter_time(
+            sf_grad_full_body, state, k_small=8, k_big=32
         )
 
     if "stepframebwd" in want:
