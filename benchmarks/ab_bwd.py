@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""A/B harness for backward-pass perf knobs on the bench workload.
+
+Measures single-rollout fwd+bwd (and fwd-only) marginal cost for a list of
+SimConfig overrides, using bench.py's tunnel-robust marginal-cost timing.
+One jit object per config, run strictly sequentially (one TPU process).
+
+    python benchmarks/ab_bwd.py [name ...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+
+import bench
+
+CONFIGS = {
+    "base": {},
+    "sub4": {"substep_unroll": 4},
+    "frame2": {"frame_unroll": 2},
+    "sub4frame2": {"substep_unroll": 4, "frame_unroll": 2},
+    "dots": {"remat_policy": "dots"},
+    "sub4dots": {"substep_unroll": 4, "remat_policy": "dots"},
+    "noremat": {"remat_replay": False},
+}
+
+N_BIG = 10
+
+
+def measure(loss_fn):
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    fwd_fn = jax.jit(loss_fn)
+    rad = jnp.asarray(bench.RAD)
+    t_c0 = time.perf_counter()
+    for w in range(3):
+        _, g = grad_fn(rad + 1e-5 * w)
+        _ = float(g)
+    compile_s = time.perf_counter() - t_c0
+    for w in range(2):
+        _ = float(fwd_fn(rad + 1e-5 * w))
+
+    def run_n(fn, n, scalar):
+        def run(base):
+            t0 = time.perf_counter()
+            outs = [fn(rad + 1e-4 * (base + i)) for i in range(n)]
+            for o in outs:
+                _ = float(scalar(o))
+            return time.perf_counter() - t0
+
+        return run
+
+    dt, spread = bench._marginal_cost(
+        run_n(grad_fn, 1, lambda o: o[1]), run_n(grad_fn, N_BIG, lambda o: o[1]),
+        N_BIG, k=2,
+    )
+    dt_f, _ = bench._marginal_cost(
+        run_n(fwd_fn, 1, lambda o: o), run_n(fwd_fn, N_BIG, lambda o: o),
+        N_BIG, k=2,
+    )
+    return dict(
+        steps_per_sec=round(bench.N_FRAMES / dt, 1),
+        fwd_steps_per_sec=round(bench.N_FRAMES / dt_f, 1),
+        bwd_share=round(max(1.0 - dt_f / dt, 0.0), 3),
+        spread=round(spread, 3),
+        compile_s=round(compile_s, 1),
+    )
+
+
+def main():
+    names = sys.argv[1:] or list(CONFIGS)
+    print(f"backend={jax.default_backend()}")
+    for name in names:
+        over = CONFIGS[name]
+        loss_fn, _ = bench._build(over)
+        try:
+            r = measure(loss_fn)
+        except Exception as e:  # keep the sweep going past one bad config
+            print(f"{name:12s} FAILED: {type(e).__name__}: {e}")
+            continue
+        print(f"{name:12s} {r}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,17 @@ class SimConfig:
     # ~one extra cheap forward and collapses the residuals to the substep
     # inputs.
     remat_replay: bool = True
+    # jax.checkpoint policy for remat_replay: "none" saves only the block
+    # inputs (full recompute), "dots" (dots_saveable) additionally saves
+    # matmul results so the transpose skips recomputing them
+    remat_policy: str = "none"
+    # lax.scan unroll factors (TPU dispatch-overhead levers): the substep
+    # scan is short (max_substeps), so unrolling it removes the per-substep
+    # scan/transpose machinery and lets XLA fuse across substeps; the frame
+    # scan is long — unrolling trades compile time for per-frame dispatch.
+    # Both carry through scan's transpose, so they shrink the backward too.
+    substep_unroll: int = 1
+    frame_unroll: int = 1
     # contact buffers
     max_contacts_per_pair: int = 8
     max_contacts_total: int = 8  # global compacted buffer size

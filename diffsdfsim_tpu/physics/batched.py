@@ -248,7 +248,12 @@ def finish_step_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b, k_b,
         return new_v, q2, p2, contacts, last_dt, had_toc
 
     if cfg.remat_replay:
-        diff_block = jax.checkpoint(diff_block)
+        policy = (
+            jax.checkpoint_policies.dots_saveable
+            if cfg.remat_policy == "dots"
+            else None
+        )
+        diff_block = jax.checkpoint(diff_block, policy=policy)
 
     dt_k_b = dt_frame_b * 0.5 ** k_b.astype(dtype)
     new_v, q2, p2, contacts, last_dt, had_toc = diff_block(
@@ -315,7 +320,9 @@ def step_frame_batched(spec: WorldSpec, bodies_b, state_b: WorldState):
 
     B = state_b.pos.shape[0]
     (state2, had_contacts), recs = jax.lax.scan(
-        sub, (state_b, jnp.zeros((B,), dtype=bool)), None, length=cfg.max_substeps
+        sub, (state_b, jnp.zeros((B,), dtype=bool)), None,
+        length=cfg.max_substeps,
+        unroll=min(cfg.substep_unroll, cfg.max_substeps),
     )
     truncated = (end_t - state2.t) > cfg.dt * 1e-6
     return state2, had_contacts, recs, truncated
@@ -402,7 +409,9 @@ def rollout_batched(
 
     B = state_b.pos.shape[0]
     (final, _), (recs, truncated) = jax.lax.scan(
-        frame, (state_b, jnp.zeros((B,), dtype=jnp.int32)), None, length=n_frames
+        frame, (state_b, jnp.zeros((B,), dtype=jnp.int32)), None,
+        length=n_frames,
+        unroll=min(spec.cfg.frame_unroll, n_frames),
     )
     traj = Trajectory(
         t=recs.t, quat=recs.quat, pos=recs.pos, v=recs.v, valid=recs.valid,

@@ -641,7 +641,12 @@ def finish_step(spec: WorldSpec, state: WorldState, dt_frame, k, ok_final, cache
         return new_v, q2, p2, contacts, last_dt, had_toc
 
     if cfg.remat_replay:
-        diff_block = jax.checkpoint(diff_block)
+        policy = (
+            jax.checkpoint_policies.dots_saveable
+            if cfg.remat_policy == "dots"
+            else None
+        )
+        diff_block = jax.checkpoint(diff_block, policy=policy)
 
     dt_k = dt_frame * 0.5 ** k.astype(dtype)
     new_v, q2, p2, contacts, last_dt, had_toc = diff_block(state, dt_k, cache)
@@ -712,7 +717,8 @@ def step_frame(spec: WorldSpec, state: WorldState):
         return (new_st, had), rec
 
     (state2, had_contacts), recs = jax.lax.scan(
-        sub, (state, jnp.asarray(False)), None, length=cfg.max_substeps
+        sub, (state, jnp.asarray(False)), None, length=cfg.max_substeps,
+        unroll=min(cfg.substep_unroll, cfg.max_substeps),
     )
     truncated = (end_t - state2.t) > cfg.dt * 1e-6
     return state2, had_contacts, recs, truncated
@@ -801,7 +807,8 @@ def rollout(
         return (st2, n_contact_steps), (recs, truncated)
 
     (final, _), (recs, truncated) = jax.lax.scan(
-        frame, (state, jnp.zeros((), dtype=jnp.int32)), None, length=n_frames
+        frame, (state, jnp.zeros((), dtype=jnp.int32)), None, length=n_frames,
+        unroll=min(spec.cfg.frame_unroll, n_frames),
     )
     traj = Trajectory(
         t=recs.t, quat=recs.quat, pos=recs.pos, v=recs.v, valid=recs.valid,
