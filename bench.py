@@ -44,7 +44,7 @@ def _build(dtype_cfg):
     import jax
 
     f32 = not jax.config.read("jax_enable_x64")
-    cfg = SimConfig(
+    base = dict(
         fric_dirs=8,
         max_contacts_per_pair=4,
         max_contacts_total=4,
@@ -53,8 +53,14 @@ def _build(dtype_cfg):
         max_bisect=8,
         # the reference's f64 tolerances are below f32 resolution; scale them
         tol=1e-5 if f32 else 1e-8,
-        **dtype_cfg,
+        # A/B-selected backward knob (benchmarks/ab_bwd.py, r3): unrolling the
+        # short substep scan removes its per-substep scan/transpose machinery
+        # (593 vs 566 steps/s single); frame_unroll and the dots remat policy
+        # measured neutral-to-negative, remat_replay off costs 2x.
+        substep_unroll=4,
     )
+    base.update(dtype_cfg)
+    cfg = SimConfig(**base)
 
     def world_fn(rad):
         floor = make_body(BoxShape(jnp.array([20.0, 1.0, 20.0])), subdiv=3, fric_coeff=0.25)
