@@ -27,7 +27,7 @@ DROP = 1.2
 TORCH_BASELINE_STEPS_PER_SEC = 210.17
 
 
-def _build(dtype_cfg):
+def _build(cfg_overrides):
     import jax.numpy as jnp
 
     from diffsdfsim_tpu.config import SimConfig
@@ -59,7 +59,10 @@ def _build(dtype_cfg):
         # measured neutral-to-negative, remat_replay off costs 2x.
         substep_unroll=4,
     )
-    base.update(dtype_cfg)
+    # Overrides INTENTIONALLY win over the A/B-selected knobs above: that is
+    # how benchmarks/ab_bwd.py re-measures each knob against this exact
+    # workload (ADVICE r3). bench.py itself always passes {}.
+    base.update(cfg_overrides)
     cfg = SimConfig(**base)
 
     def world_fn(rad):

@@ -75,14 +75,45 @@ def measure(loss_fn):
     )
 
 
+def measure_batch(batch_loss_fn, nb=16):
+    """Aggregate lane-steps/s of the batched-native path under the same
+    overrides — the knob must be validated on BOTH paths before shipping it
+    as a default (ADVICE r3: substep_unroll=4 was only A/B'd single)."""
+    grad_fn = jax.jit(jax.value_and_grad(batch_loss_fn))
+    rads = jnp.linspace(0.42, 0.58, nb)
+    for w in range(3):
+        _, g = grad_fn(rads + 1e-5 * w)
+        _ = float(g[0])
+
+    def run_n(n):
+        def run(base):
+            t0 = time.perf_counter()
+            outs = [grad_fn(rads + 1e-4 * (base + i)) for i in range(n)]
+            for _, g in outs:
+                _ = float(g[0])
+            return time.perf_counter() - t0
+
+        return run
+
+    dt, spread = bench._marginal_cost(run_n(1), run_n(6), 6, k=2)
+    return dict(
+        batch16_steps_per_sec=round(bench.N_FRAMES * nb / dt, 1),
+        batch16_spread=round(spread, 3),
+    )
+
+
 def main():
-    names = sys.argv[1:] or list(CONFIGS)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    with_batch = "--batch" in sys.argv[1:]
+    names = args or list(CONFIGS)
     print(f"backend={jax.default_backend()}")
     for name in names:
         over = CONFIGS[name]
-        loss_fn, _ = bench._build(over)
+        loss_fn, batch_loss_fn = bench._build(over)
         try:
             r = measure(loss_fn)
+            if with_batch:
+                r.update(measure_batch(batch_loss_fn))
         except Exception as e:  # keep the sweep going past one bad config
             print(f"{name:12s} FAILED: {type(e).__name__}: {e}")
             continue

@@ -105,7 +105,9 @@ def forced(spec, bodies_b, state_b, dtf):
 
     def ladder(bd, st, dtf_):
         s = B._spec_with_bodies(spec, bd)
-        k, any_ok, cc, sol_k = B._probe_ladder_full(
+        from diffsdfsim_tpu.physics.world import _probe_ladder_full
+
+        k, any_ok, cc, sol_k = _probe_ladder_full(
             s, st, dtf_, B._accept_thresh(s, st)
         )
         return k, any_ok, (cc, sol_k)
