@@ -120,6 +120,14 @@ def main():
         print(f"--- state: {tag} ---", flush=True)
         results = {}
 
+        class _R(dict):
+            def __setitem__(self, name, t):
+                print(f"{name:42s} {t*1e6:9.0f} us  ({t*1e6/B:6.1f} us/lane)",
+                      flush=True)
+                dict.__setitem__(self, name, t)
+
+        results = _R()
+
         def probe_body(st):
             k, ok, cache = BT._probe_batched(spec, bb, st, dtf)
             return _perturb(st, k)
@@ -189,13 +197,11 @@ def main():
                 s2, had, recs, trunc = BT.step_frame_batched(spec, bb, s)
                 return jnp.sum(s2.pos ** 2), s2
 
-            (l, s2), g = jax.value_and_grad(loss, has_aux=True)(st)
+            (l, s2), g = jax.value_and_grad(loss, has_aux=True, allow_int=True)(st)
             return s2.replace(t=st.t, pos=s2.pos + 0.0 * g.pos)
 
         results["step_frame_batched (fwd+bwd)"] = per_iter_time(frame_fb_body, st0)
 
-        for name, t in results.items():
-            print(f"{name:42s} {t*1e6:9.0f} us  ({t*1e6/B:6.1f} us/lane)", flush=True)
 
 
 if __name__ == "__main__":

@@ -593,7 +593,7 @@ def escalated_resolve(
 
                 return pdipm_pallas(
                     *args, max_iter=iters_hi, eps=eps, interpret=interpret,
-                    invQ=invQ,
+                    invQ=invQ, structure=structure,
                 )
             return pdipm_solve_raw(*args, iters_hi, eps, 6, structure)
 

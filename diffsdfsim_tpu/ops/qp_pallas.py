@@ -56,19 +56,37 @@ def _mtv(M, v):
 
 
 def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim,
-                 unroll=True):
+                 unroll=True, fric=None):
     """Build the kernel function with static sizes closed over.
 
     `unroll`: fully unroll the GJ + Mehrotra loops (fastest per step but
     Mosaic compile time explodes with block width — a block_b=16 unrolled
     kernel took 4 min to compile, block_b=32 >18 min; wide blocks use the
-    fori_loop variant, which compiles in ~2 s)."""
+    fori_loop variant, which compiles in ~2 s).
+
+    `fric`: optional (k, fd) static structure of the physics mixed LCP
+    (G = [Jc(k); Jf(k*fd, per-contact blocks of +dirs then -dirs); 0(k)],
+    F the E/mu cone coupling — engine.assemble_contact_lcp). When given, the
+    per-iteration Schur solve runs on a REDUCED system: the k cone rows are
+    eliminated analytically (exact algebra, as ops.qp._factor_S), and the
+    +/- friction-direction pairs (Jf- = -Jf+) are folded into sum/difference
+    variables u = wf+ + wf-, v = wf+ - wf-, where the u-block is
+    (per-contact diagonal + rank-1) and inverts in closed form
+    (Sherman-Morrison); only the dense (neq + k + k*fd/2) system in
+    (w_eq, w_n, v) needs the Gauss-Jordan. At the bench shape that is a
+    26x26 GJ instead of 46x46 — ~5x less VPU work per iteration, which is
+    where this latency-bound kernel spends its time. The kernel then takes
+    two extra inputs: base_red (the base Schur block on [eq, n, f+] rows)
+    and mu (the per-contact friction coefficients)."""
     m = neq + nineq
 
-    def kernel(
-        q_ref, invq_ref, base_ref, g_ref, a_ref, f_ref, p_ref, h_ref, b_ref,
-        x_out, s_out, z_out, y_out,
-    ):
+    def kernel(*refs):
+        if fric is not None:
+            (q_ref, invq_ref, base_ref, basered_ref, g_ref, a_ref, f_ref,
+             mu_ref, p_ref, h_ref, b_ref, x_out, s_out, z_out, y_out) = refs
+        else:
+            (q_ref, invq_ref, base_ref, g_ref, a_ref, f_ref, p_ref, h_ref,
+             b_ref, x_out, s_out, z_out, y_out) = refs
         dtype = p_ref.dtype
         Q = q_ref[:]
         invQ = invq_ref[:]
@@ -98,60 +116,217 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim,
             ) + pad_reg
             return base + F + eye_m[None] * dfull[:, None, :]
 
-        rid_aug = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * m), 0)
+        def make_inv_gj(mm):
+            rid_aug = jax.lax.broadcasted_iota(jnp.int32, (mm, 2 * mm), 0)
+            rid_mm = jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 0)
+            cid_mm = jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 1)
+            eye_mm = (rid_mm == cid_mm).astype(dtype)
 
-        def inv_gj(S):
-            aug = jnp.concatenate(
-                [S, jnp.broadcast_to(eye_m[None], S.shape)], axis=-1
-            )
+            def inv_gj(S):
+                aug = jnp.concatenate(
+                    [S, jnp.broadcast_to(eye_mm[None], S.shape)], axis=-1
+                )
 
-            # fori_loop (uniform f32 carry legalizes; full unrolling blew
-            # the 16MB VMEM scoped stack at m ~ 90 from the long live
-            # ranges); row/col picked by masked reductions and the pivot row
-            # placed back by select (Mosaic has neither dynamic_slice on
-            # values nor scatter)
-            # The GJ is pivot-free; a denormal/zero leading pivot would emit
-            # NaN/inf that the NaN-freeze then silently hides behind a stale
-            # best iterate (ADVICE r2). Guard the pivot: for healthy pivots
-            # the `where` is bit-exact identity, for a degenerate one the
-            # huge-but-finite row blows the residual so the best-iterate
-            # logic visibly rejects the step instead of freezing on NaN.
-            tiny = jnp.asarray(1e-30, dtype=dtype)
+                # fori_loop (uniform f32 carry legalizes; full unrolling
+                # blew the 16MB VMEM scoped stack at m ~ 90 from the long
+                # live ranges); row/col picked by masked reductions and the
+                # pivot row placed back by select (Mosaic has neither
+                # dynamic_slice on values nor scatter).
+                # The GJ is pivot-free; a denormal/zero leading pivot would
+                # emit NaN/inf that the NaN-freeze then silently hides
+                # behind a stale best iterate (ADVICE r2). Guard the pivot:
+                # for healthy pivots the `where` is a bit-exact identity,
+                # for a degenerate one the huge-but-finite row blows the
+                # residual so the best-iterate logic visibly rejects the
+                # step instead of freezing on NaN.
+                tiny = jnp.asarray(1e-30, dtype=dtype)
 
-            def safe_pv(pv):
-                return jnp.where(jnp.abs(pv) < tiny, tiny, pv)
+                def safe_pv(pv):
+                    return jnp.where(jnp.abs(pv) < tiny, tiny, pv)
 
-            if unroll and m <= 64:
-                # small systems: fully unrolled with static indexing — ~20%
-                # faster per step and fits VMEM comfortably
-                for kk in range(m):
-                    piv = aug[:, kk, :] / safe_pv(aug[:, kk, kk][:, None])
-                    elim = aug - aug[:, :, kk][:, :, None] * piv[:, None, :]
-                    aug = jnp.where((rid_aug == kk)[None], piv[:, None, :], elim)
-                return aug[:, :, m:]
+                if (unroll and mm <= 64) or mm <= 32:
+                    # small systems: fully unrolled with static indexing —
+                    # substantially faster per step than the fori variant's
+                    # masked row/col extraction (2 full-matrix reductions
+                    # per step) and fits VMEM comfortably. Systems <= 32
+                    # rows (the reduced friction solve) unroll even at wide
+                    # blocks: the Mosaic compile blow-up is driven by
+                    # unrolled-step count x row width, and 26x52 planes
+                    # stay cheap where 46x92 did not.
+                    for kk in range(mm):
+                        piv = aug[:, kk, :] / safe_pv(aug[:, kk, kk][:, None])
+                        elim = aug - aug[:, :, kk][:, :, None] * piv[:, None, :]
+                        aug = jnp.where((rid_aug == kk)[None], piv[:, None, :], elim)
+                    return aug[:, :, mm:]
 
-            rid_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-            cid_2m = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * m), 1)
+                rid_m1 = jax.lax.broadcasted_iota(jnp.int32, (mm, 1), 0)
+                cid_2m = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * mm), 1)
 
-            def gj_step(kk, aug):
-                rowmask = (rid_m == kk).astype(dtype)
-                row = jnp.sum(aug * rowmask[None], axis=1, keepdims=True)
-                colmask = (cid_2m == kk).astype(dtype)
-                pv = jnp.sum(row * colmask[None], axis=2, keepdims=True)
-                piv = row / safe_pv(pv)  # (bb, 1, 2m)
-                col = jnp.sum(aug * colmask[None], axis=2, keepdims=True)
-                elim = aug - col * piv
-                return jnp.where(rid_aug[None] == kk, piv, elim)
+                def gj_step(kk, aug):
+                    rowmask = (rid_m1 == kk).astype(dtype)
+                    row = jnp.sum(aug * rowmask[None], axis=1, keepdims=True)
+                    colmask = (cid_2m == kk).astype(dtype)
+                    pv = jnp.sum(row * colmask[None], axis=2, keepdims=True)
+                    piv = row / safe_pv(pv)  # (bb, 1, 2mm)
+                    col = jnp.sum(aug * colmask[None], axis=2, keepdims=True)
+                    elim = aug - col * piv
+                    return jnp.where(rid_aug[None] == kk, piv, elim)
 
-            aug = jax.lax.fori_loop(0, m, gj_step, aug)
-            return aug[:, :, m:]
+                aug = jax.lax.fori_loop(0, mm, gj_step, aug)
+                return aug[:, :, mm:]
 
-        def solve_kkt(invS, d, rx, rs, rz, ry):
+            return inv_gj
+
+        inv_gj = make_inv_gj(m)
+
+        if fric is None:
+
+            def factor(dinv):
+                return inv_gj(build_S(dinv))
+
+            def solve_S_fac(fac, hvec):
+                return _mv(fac, hvec)
+
+        else:
+            k_c, fd = fric
+            fd2 = fd // 2
+            nf = k_c * fd
+            nf2 = k_c * fd2
+            m2 = neq + k_c + nf2
+            base_red = basered_ref[:]
+            mu_fric = mu_ref[:]
+            inv_gj2 = make_inv_gj(m2)
+
+            # static selection masks (iota only; Mosaic has no gather).
+            # friction rows are per-contact blocks [d1..d_fd2, -d1..-d_fd2]
+            r2 = jax.lax.broadcasted_iota(jnp.int32, (nf2, nf), 0)
+            c2 = jax.lax.broadcasted_iota(jnp.int32, (nf2, nf), 1)
+            src_p = (r2 // fd2) * fd + r2 % fd2
+            mask_p = (c2 == src_p).astype(dtype)  # (nf2, nf)
+            mask_m = (c2 == src_p + fd2).astype(dtype)
+            rk = jax.lax.broadcasted_iota(jnp.int32, (nf2, k_c), 0)
+            ck = jax.lax.broadcasted_iota(jnp.int32, (nf2, k_c), 1)
+            mask_e = (ck == rk // fd2).astype(dtype)  # (nf2, k): contact of row
+
+            def pick_p(x):  # (bb, nf) -> (bb, nf2)
+                return jnp.sum(mask_p[None] * x[:, None, :], axis=-1)
+
+            def pick_m(x):
+                return jnp.sum(mask_m[None] * x[:, None, :], axis=-1)
+
+            def scat_pm(xp, xm):  # two (bb, nf2) -> (bb, nf)
+                return jnp.sum(
+                    mask_p[None] * xp[:, :, None] + mask_m[None] * xm[:, :, None],
+                    axis=1,
+                )
+
+            def expand(xk):  # per-contact (bb, k) -> per-row (bb, nf2)
+                return jnp.sum(mask_e[None] * xk[:, None, :], axis=-1)
+
+            def csum(x2):  # per-row (bb, nf2) -> per-contact (bb, k)
+                return jnp.sum(mask_e[None] * x2[:, :, None], axis=1)
+
+            # full-m2-frame masks for assembling the v-block updates without
+            # scatter: rows/cols [eq | n | f+]
+            rm2 = jax.lax.broadcasted_iota(jnp.int32, (m2, m2), 0)
+            cm2 = jax.lax.broadcasted_iota(jnp.int32, (m2, m2), 1)
+            eye_m2 = (rm2 == cm2).astype(dtype)
+            vstart = neq + k_c
+            in_v = (rm2 >= vstart) & (cm2 >= vstart)
+            same_blk = ((rm2 - vstart) // fd2) == ((cm2 - vstart) // fd2)
+            blockmask_v = (in_v & same_blk).astype(dtype)  # (m2, m2)
+            vn_mask = (
+                (rm2 >= vstart) & (cm2 >= neq) & (cm2 < vstart)
+                & (((rm2 - vstart) // fd2) == (cm2 - neq))
+            ).astype(dtype)
+            colid2 = jax.lax.broadcasted_iota(jnp.int32, (1, m2), 1)
+            pad_reg2 = ((colid2 >= neq_real) & (colid2 < neq)).astype(dtype)
+
+            def cat_parts(parts, offs, width):
+                """Place (bb, w_i) pieces at static column offsets in a
+                (bb, width) vector. Mosaic cannot lower concatenate of
+                sliced operands with mismatched sublane offsets; masked
+                placement via iota one-hots lowers cleanly."""
+                out = None
+                for part, off in zip(parts, offs):
+                    wi = part.shape[-1]
+                    r = jax.lax.broadcasted_iota(jnp.int32, (wi, width), 0)
+                    c = jax.lax.broadcasted_iota(jnp.int32, (wi, width), 1)
+                    sel = (c == off + r).astype(dtype)
+                    t = jnp.sum(sel[None] * part[:, :, None], axis=1)
+                    out = t if out is None else out + t
+                return out
+
+            def pad_v(x2):  # (bb, nf2) -> (bb, m2) zeros on [eq, n]
+                return cat_parts([x2], [vstart], m2)
+
+            def factor(dinv):
+                dn_inv = dinv[:, :k_c]
+                df_inv = dinv[:, k_c : k_c + nf]
+                dc = 1.0 / dinv[:, k_c + nf :]  # cone d = z_c / s_c
+                dpi = pick_p(df_inv)
+                dmi = pick_m(df_inv)
+                sigma = 0.5 * (dpi + dmi)
+                delta = 0.5 * (dpi - dmi)
+                sig_inv = 1.0 / sigma
+                dsig = delta * sig_inv
+                s_j = csum(sig_inv)  # (bb, k)
+                cj = 2.0 * dc / (1.0 + 2.0 * dc * s_j)
+                cj_r = expand(cj)
+
+                # K = base_red + diag adds + rank-1 v-block + (v, n) coupling
+                diag_add = cat_parts(
+                    [dn_inv, 0.5 * sigma - 0.5 * delta * dsig],
+                    [neq, vstart], m2,
+                )
+                K = base_red + eye_m2[None] * (diag_add[:, None, :] + pad_reg2)
+                dsig_f = pad_v(dsig)
+                cj_f = pad_v(cj_r)
+                K = K + 0.5 * cj_f[:, :, None] * dsig_f[:, :, None] * dsig_f[:, None, :] * blockmask_v[None]
+                vn_coef = pad_v(dsig * expand(dc * mu_fric * (1.0 - cj * s_j)))
+                K = K + vn_coef[:, :, None] * vn_mask[None]
+
+                invK = inv_gj2(K)
+                return (invK, sig_inv, cj_r, dc, delta)
+
+            def solve_S_fac(fac, hvec):
+                """w with S w = hvec via the reduced system + closed-form
+                recovery of (wf+, wf-, wc)."""
+                invK, sig_inv, cj_r, dc, delta = fac
+                he = hvec[:, :neq]
+                hn = hvec[:, neq : neq + k_c]
+                hf = hvec[:, neq + k_c : neq + k_c + nf]
+                hc = hvec[:, m - k_c :]
+                rp = pick_p(hf)
+                rm_ = pick_m(hf)
+                g = expand(dc * hc)
+                q = rp + rm_ - 2.0 * g
+
+                def SM(x):  # (sigma + 2C)^-1 x, per-contact Sherman-Morrison
+                    t = sig_inv * x
+                    return t - cj_r * sig_inv * expand(csum(t))
+
+                rhs = cat_parts(
+                    [he, hn, 0.5 * (rp - rm_ - delta * SM(q))],
+                    [0, neq, vstart], m2,
+                )
+                w2 = _mv(invK, rhs)
+                we = w2[:, :neq]
+                wn = w2[:, neq : neq + k_c]
+                v = w2[:, neq + k_c :]
+                u = SM(q + 2.0 * expand(dc * mu_fric * wn) - delta * v)
+                wf = scat_pm(0.5 * (u + v), 0.5 * (u - v))
+                wc = dc * (hc - mu_fric * wn + csum(u))
+                return cat_parts(
+                    [we, wn, wf, wc], [0, neq, neq + k_c, m - k_c], m
+                )
+
+        def solve_kkt(fac, d, rx, rs, rz, ry):
             invQ_rx = _mv(invQ, rx)
             h_ineq = _mv(G, invQ_rx) + rs / d - rz
             h_eq = _mv(A, invQ_rx) - ry
             hvec = jnp.concatenate([h_eq, h_ineq], axis=-1)
-            w = -_mv(invS, hvec)
+            w = -solve_S_fac(fac, hvec)
             w_eq, w_ineq = w[:, :neq], w[:, neq:]
             g1 = -rx - _mtv(G, w_ineq) - _mtv(A, w_eq)
             g2 = -rs - w_ineq
@@ -166,7 +341,7 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim,
 
         d0 = jnp.ones((bb, nineq), dtype=dtype)
         x, s, z, y = solve_kkt(
-            inv_gj(build_S(d0)), d0, p, jnp.zeros((bb, nineq), dtype=dtype), -h, -b
+            factor(d0), d0, p, jnp.zeros((bb, nineq), dtype=dtype), -h, -b
         )
 
         def shift(v):
@@ -212,8 +387,8 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim,
             done = jnp.where(newly_done, 1.0, done)
 
             d = z / s
-            invS = inv_gj(build_S(1.0 / d))
-            dx_a, ds_a, dz_a, dy_a = solve_kkt(invS, d, rx, rs, rz, ry)
+            fac = factor(1.0 / d)
+            dx_a, ds_a, dz_a, dy_a = solve_kkt(fac, d, rx, rs, rz, ry)
 
             alpha = jnp.minimum(
                 jnp.minimum(get_step(z, dz_a), get_step(s, ds_a)), 1.0
@@ -227,7 +402,7 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim,
 
             rs_cor = (-(mu * sig) + ds_a * dz_a) / s
             dx_c, ds_c, dz_c, dy_c = solve_kkt(
-                invS, d,
+                fac, d,
                 jnp.zeros((bb, nz), dtype=dtype), rs_cor,
                 jnp.zeros((bb, nineq), dtype=dtype),
                 jnp.zeros((bb, neq), dtype=dtype),
@@ -295,12 +470,24 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim,
     return kernel
 
 
+def _fric_ok(structure, nineq, neq_real):
+    """Static predicate: can the reduced friction-structure solve be used?"""
+    if structure is None or structure[0] != "fric":
+        return False
+    _, k, fd = structure
+    return k > 0 and fd >= 2 and fd % 2 == 0 and nineq == k * (2 + fd)
+
+
 def _pdipm_pallas_flat(
-    Q, invQ, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b, interpret
+    Q, invQ, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b,
+    interpret, structure=None,
 ):
     B, nineq, nz = G.shape
     neq_real = A.shape[-2]
     dtype = Q.dtype
+    fric = None
+    if _fric_ok(structure, nineq, neq_real):
+        fric = (structure[1], structure[2])
 
     # pad equality block to >= 1 row (zero rows + diag reg pin y_pad = 0)
     neq = max(neq_real, 1)
@@ -316,6 +503,22 @@ def _pdipm_pallas_flat(
         )
     AG = jnp.concatenate([A, G], axis=-2)
     base = AG @ invQ @ jnp.swapaxes(AG, -1, -2)
+    if fric is not None:
+        # reduced-solve one-time data (see _make_kernel docstring): the base
+        # Schur block restricted to [eq, n, f+] rows (one static gather, done
+        # here because Mosaic has none) and the cone coefficients mu
+        k_c, fd = fric
+        fd2 = fd // 2
+        idx = np.concatenate(
+            [
+                np.arange(neq + k_c),
+                neq + k_c
+                + (np.arange(k_c * fd2) // fd2) * fd
+                + np.arange(k_c * fd2) % fd2,
+            ]
+        )
+        base_red = base[:, idx][:, :, idx]
+        mu_f = jnp.diagonal(F[:, k_c * (1 + fd) :, :k_c], axis1=-2, axis2=-1)
     # F padded into the full (m, m) Schur frame (in-kernel strided scatter
     # is not lowerable on Mosaic)
     m_ = neq + nineq
@@ -353,7 +556,7 @@ def _pdipm_pallas_flat(
 
     kernel = _make_kernel(
         nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim,
-        unroll=block_b <= 8,
+        unroll=block_b <= 8, fric=fric,
     )
 
     grid = (Bp // block_b,)
@@ -364,13 +567,19 @@ def _pdipm_pallas_flat(
         (block_b, n), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     m = neq + nineq
+    inputs = [Qp_, invQp, basep, Gp, Ap, Fp, pp, hp, bp]
+    in_specs = [
+        mat(nz, nz), mat(nz, nz), mat(m, m), mat(nineq, nz),
+        mat(neq, nz), mat(m, m), vec(nz), vec(nineq), vec(neq),
+    ]
+    if fric is not None:
+        m2 = neq + k_c + k_c * fd2
+        inputs = inputs[:3] + [padb(base_red)] + inputs[3:5] + [inputs[5], padb(mu_f)] + inputs[6:]
+        in_specs = in_specs[:3] + [mat(m2, m2)] + in_specs[3:5] + [in_specs[5], vec(k_c)] + in_specs[6:]
     x, s, z, y = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            mat(nz, nz), mat(nz, nz), mat(m, m), mat(nineq, nz),
-            mat(neq, nz), mat(m, m), vec(nz), vec(nineq), vec(neq),
-        ],
+        in_specs=in_specs,
         out_specs=[vec(nz), vec(nineq), vec(nineq), vec(neq)],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, nz), dtype),
@@ -379,7 +588,7 @@ def _pdipm_pallas_flat(
             jax.ShapeDtypeStruct((Bp, neq), dtype),
         ],
         interpret=interpret,
-    )(Qp_, invQp, basep, Gp, Ap, Fp, pp, hp, bp)
+    )(*inputs)
 
     x, s, z, y = x[:B], s[:B], z[:B], y[:B]
     if neq_real == 0:
@@ -387,7 +596,8 @@ def _pdipm_pallas_flat(
     return x, y, z, s
 
 
-def _make_batched_impl(max_iter, eps, not_improved_lim, block_b, interpret):
+def _make_batched_impl(max_iter, eps, not_improved_lim, block_b, interpret,
+                       structure=None):
     """custom_vmap wrapper: vmapping this solver must FLATTEN the mapped
     axis into the kernel's batch dimension. The default vmap-of-pallas_call
     instead prepends a grid axis, so every mapped lane pads its own batch to
@@ -399,7 +609,7 @@ def _make_batched_impl(max_iter, eps, not_improved_lim, block_b, interpret):
     def impl(Q, invQ, p, G, h, A, b, F):
         return _pdipm_pallas_flat(
             Q, invQ, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b,
-            interpret,
+            interpret, structure,
         )
 
     @impl.def_vmap
@@ -416,43 +626,53 @@ def _make_batched_impl(max_iter, eps, not_improved_lim, block_b, interpret):
     return impl
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _pdipm_pallas_impl(
-    Q, invQ, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b, interpret
+    Q, invQ, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b,
+    interpret, structure,
 ):
-    impl = _make_batched_impl(max_iter, eps, not_improved_lim, block_b, interpret)
+    impl = _make_batched_impl(
+        max_iter, eps, not_improved_lim, block_b, interpret, structure
+    )
     return impl(Q, invQ, p, G, h, A, b, F)
 
 
 @_pdipm_pallas_impl.defjvp
 def _pdipm_pallas_jvp(
-    max_iter, eps, not_improved_lim, block_b, interpret, primals, tangents
+    max_iter, eps, not_improved_lim, block_b, interpret, structure, primals,
+    tangents,
 ):
     """Zero tangents: this is the gradient-free PROBE solver; gradients are
     attached later through ops.qp.lcp_solve_from_solution (KKT implicit
     diff). Declaring the derivative (rather than relying on callers'
     stop_gradient) keeps the pallas_call off every autodiff path."""
     out = _pdipm_pallas_impl(
-        *primals, max_iter, eps, not_improved_lim, block_b, interpret
+        *primals, max_iter, eps, not_improved_lim, block_b, interpret, structure
     )
     return out, jax.tree_util.tree_map(jnp.zeros_like, out)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "eps", "not_improved_lim", "block_b", "interpret"),
+    static_argnames=(
+        "max_iter", "eps", "not_improved_lim", "block_b", "interpret",
+        "structure",
+    ),
 )
 def pdipm_pallas(
     Q, p, G, h, A, b, F,
     max_iter=10, eps=1e-6, not_improved_lim=3,
-    block_b=None, interpret=False, invQ=None,
+    block_b=None, interpret=False, invQ=None, structure=None,
 ):
     """Batched PDIPM forward (x, y, z, s) — Pallas TPU kernel.
 
     Mirrors ops.qp.pdipm_solve_raw (gradient-free; see _pdipm_pallas_jvp).
     All inputs batched (B, ...); neq may be 0. The batch is processed in
     blocks of `block_b` problems, each block fully vectorized across
-    sublanes."""
+    sublanes. `structure=("fric", k, fd)` (static) asserts the physics
+    friction-LCP layout (engine.assemble_contact_lcp row ordering) and
+    switches the per-iteration Schur solve to the reduced
+    (neq + k + k*fd/2) system — see _make_kernel."""
     if invQ is None:
         # generic path: explicit inverse via one batched Cholesky. Callers
         # with structured Q (the block-diagonal mass matrix) should pass an
@@ -464,7 +684,7 @@ def pdipm_pallas(
         )
     return _pdipm_pallas_impl(
         Q, invQ, p, G, h, A, b, F, max_iter, eps, not_improved_lim, block_b,
-        interpret,
+        interpret, structure,
     )
 
 

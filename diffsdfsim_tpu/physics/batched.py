@@ -86,82 +86,56 @@ def make_world_batched(build_fn, *batched_args):
 
 
 def _probe_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b):
-    """Gradient-free bisection probe for the whole batch: rung 0 for all
-    lanes in one lane-flattened kernel batch; the full D-rung ladder only
-    under a whole-batch cond when some lane rejects (reference
-    world.py:344-356 per lane)."""
+    """Gradient-free bisection probe for the whole batch (reference
+    world.py:344-356 per lane), MERGED first stage: rungs 0..ladder_stage1
+    probe together for every lane in one lane-flattened kernel batch; the
+    deep rungs run under a whole-batch cond only when some lane fails the
+    shallow stage.
+
+    An earlier version probed rung 0 alone and entered the rung-1.. ladder
+    under a whole-batch cond on rejection — tuned for free flight. Measured
+    on the bench bounce batch (benchmarks/diag_batch_rollout.py, B=16
+    staggered radii): the ladder fires on 66% of executed substeps (some
+    lane is always bouncing), so most substeps paid TWO sequential probe
+    stages (launch + search glue each). The single-rollout path made the
+    same trade for the same reason (world._probe_ladder: contact substeps
+    dominate). The filter (finish_contacts) runs once on the selected rung
+    instead of eagerly at rung 0."""
     sg = jax.lax.stop_gradient
     bodies_b = jax.tree_util.tree_map(sg, bodies_b)
     state_b = jax.tree_util.tree_map(sg, state_b)
     dt_frame_b = sg(dt_frame_b)
+    cfg = spec.cfg
+    mb = cfg.max_bisect
+    s1 = max(min(cfg.ladder_stage1, mb), 0) if cfg.ladder_stage1 >= 0 else mb
 
-    def rung0(bd, st, dtf):
-        s = _spec_with_bodies(spec, bd)
-        return _probe_rung0(s, st, dtf, _accept_thresh(s, st))
+    def rungs(lo, hi):
+        def f(bd, st, dtf):
+            s = _spec_with_bodies(spec, bd)
+            return _probe_rungs(s, st, dtf, _accept_thresh(s, st), lo, hi)
 
-    ok0, cache0 = jax.vmap(rung0)(bodies_b, state_b, dt_frame_b)
-    B = ok0.shape[0]
+        return f
 
-    def fast(_):
-        return (
-            jnp.zeros((B,), dtype=jnp.int32),
-            jnp.ones((B,), dtype=bool),
-            cache0,
-        )
+    f1, k1, raw1, sol1 = jax.vmap(rungs(0, s1))(bodies_b, state_b, dt_frame_b)
+    if s1 == mb:
+        found, k, raw, sol = f1, k1, raw1, sol1
+    else:
 
-    def slow(_):
-        """Staged whole-batch ladder (world._probe_ladder_full semantics at
-        the batch level): every lane probes the shallow rungs together; the
-        deep rungs run under a second whole-batch cond only when some lane
-        fails the shallow stage. Rung 0 is NOT re-probed — every lane's
-        rung-0 verdict and cache are already in (ok0, cache0); lanes that
-        passed it are merged back at the end. Selected k per lane is
-        identical to the full-width probe (smallest passing rung / floor)."""
-        cfg = spec.cfg
-        mb = cfg.max_bisect
-        s1 = max(min(cfg.ladder_stage1, mb), 1) if cfg.ladder_stage1 >= 0 else mb
+        def stay(_):
+            return f1, k1, raw1, sol1
 
-        def rungs(lo, hi):
-            def f(bd, st, dtf):
-                s = _spec_with_bodies(spec, bd)
-                return _probe_rungs(s, st, dtf, _accept_thresh(s, st), lo, hi)
-
-            return f
-
-        f1, k1, raw1, sol1 = jax.vmap(rungs(1, s1))(bodies_b, state_b, dt_frame_b)
-        if s1 == mb:
-            found, k, raw, sol = f1, k1, raw1, sol1
-        else:
-
-            def stay(_):
-                return f1, k1, raw1, sol1
-
-            def deep(_):
-                f2, k2, raw2, sol2 = jax.vmap(rungs(s1 + 1, mb))(
-                    bodies_b, state_b, dt_frame_b
-                )
-                return _select_lanes(
-                    f1, (f1, k1, raw1, sol1), (f2, k2, raw2, sol2)
-                )
-
-            found, k, raw, sol = jax.lax.cond(
-                jnp.all(f1 | ok0), stay, deep, None
+        def deep(_):
+            f2, k2, raw2, sol2 = jax.vmap(rungs(s1 + 1, mb))(
+                bodies_b, state_b, dt_frame_b
+            )
+            return _select_lanes(
+                f1, (f1, k1, raw1, sol1), (f2, k2, raw2, sol2)
             )
 
-        cc = jax.vmap(lambda r: finish_contacts(r, cfg))(raw)
-        cc0, sol0 = cache0
-        return (
-            jnp.where(ok0, 0, k),
-            ok0 | found,
-            (_select_lanes(ok0, cc0, cc), _select_lanes(ok0, sol0, sol)),
-        )
+        found, k, raw, sol = jax.lax.cond(jnp.all(f1), stay, deep, None)
 
-    if spec.cfg.max_bisect == 0:
-        # the ladder IS rung 0: nothing further to probe on rejection
-        return jnp.zeros_like(ok0, dtype=jnp.int32), ok0, cache0
-
-    k, ok, cache = jax.lax.cond(jnp.all(ok0), fast, slow, None)
-    return k, ok, jax.tree_util.tree_map(sg, cache)
+    cc = jax.vmap(lambda r: finish_contacts(r, cfg))(raw)
+    return k, found, jax.tree_util.tree_map(sg, (cc, sol))
 
 
 def finish_step_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b, k_b,

@@ -419,7 +419,7 @@ def probe_dynamics_batch(bodies, joints, forces, state, contacts: Contacts, dts,
 
             sol = pdipm_pallas(
                 *args, max_iter=cfg.solver_max_iter, eps=eps,
-                interpret=interpret, invQ=invQ,
+                interpret=interpret, invQ=invQ, structure=("fric", k, fd),
             )
         else:
             sol = pdipm_solve_raw(
