@@ -474,9 +474,13 @@ def _lcp_bwd(max_iter, eps, not_improved_lim, structure, res, dl_dzhat):
         from .qp_pallas import blockdiag_inv3, kkt_grad_pallas
 
         invQ = blockdiag_inv3(Q)
+        # "fric_pallas" is only ever set for engine-assembled LCPs
+        # (engine.solve_dynamics bwd_structure), whose Jf rows carry the
+        # +/- direction-pair layout — so the reduced Schur solve applies
         dx, dlam, dnu = kkt_grad_pallas(
             invQ, G, A, F, d, dl_dzhat,
             interpret=jax.default_backend() != "tpu",
+            structure=("fric", structure[1], structure[2]),
         )
     else:
         cache = _pre_factor(Q, G, A, F, structure)

@@ -55,6 +55,188 @@ def _mtv(M, v):
     return jnp.sum(M * v[:, :, None], axis=1)
 
 
+def _make_gj_inverter(mm, dtype, unroll):
+    """In-kernel pivot-free Gauss-Jordan inverter for (bb, mm, mm) systems
+    (see inv_gj comments in _make_kernel for the Mosaic constraints)."""
+    rid_aug = jax.lax.broadcasted_iota(jnp.int32, (mm, 2 * mm), 0)
+    rid_mm = jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 0)
+    cid_mm = jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 1)
+    eye_mm = (rid_mm == cid_mm).astype(dtype)
+    tiny = jnp.asarray(1e-30, dtype=dtype)
+
+    def safe_pv(pv):
+        return jnp.where(jnp.abs(pv) < tiny, tiny, pv)
+
+    def inv_gj(S):
+        aug = jnp.concatenate(
+            [S, jnp.broadcast_to(eye_mm[None], S.shape)], axis=-1
+        )
+        if (unroll and mm <= 64) or mm <= 32:
+            for kk in range(mm):
+                piv = aug[:, kk, :] / safe_pv(aug[:, kk, kk][:, None])
+                elim = aug - aug[:, :, kk][:, :, None] * piv[:, None, :]
+                aug = jnp.where((rid_aug == kk)[None], piv[:, None, :], elim)
+            return aug[:, :, mm:]
+
+        rid_m1 = jax.lax.broadcasted_iota(jnp.int32, (mm, 1), 0)
+        cid_2m = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * mm), 1)
+
+        def gj_step(kk, aug):
+            rowmask = (rid_m1 == kk).astype(dtype)
+            row = jnp.sum(aug * rowmask[None], axis=1, keepdims=True)
+            colmask = (cid_2m == kk).astype(dtype)
+            pv = jnp.sum(row * colmask[None], axis=2, keepdims=True)
+            piv = row / safe_pv(pv)
+            col = jnp.sum(aug * colmask[None], axis=2, keepdims=True)
+            elim = aug - col * piv
+            return jnp.where(rid_aug[None] == kk, piv, elim)
+
+        aug = jax.lax.fori_loop(0, mm, gj_step, aug)
+        return aug[:, :, mm:]
+
+    return inv_gj
+
+
+def _make_fric_ops(neq, neq_real, k_c, fd, m, bb, dtype, base_red, mu_fric,
+                   unroll):
+    """Reduced friction-structure Schur machinery shared by the forward and
+    backward kernels: returns (factor, solve_S_fac) where factor(dinv)
+    produces the per-diagonal factorization and solve_S_fac(fac, hvec)
+    solves S w = hvec in the full m frame (see _make_kernel docstring for
+    the derivation)."""
+    fd2 = fd // 2
+    nf = k_c * fd
+    nf2 = k_c * fd2
+    m2 = neq + k_c + nf2
+    inv_gj2 = _make_gj_inverter(m2, dtype, unroll)
+
+    # static selection masks (iota only; Mosaic has no gather).
+    # friction rows are per-contact blocks [d1..d_fd2, -d1..-d_fd2]
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (nf2, nf), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (nf2, nf), 1)
+    src_p = (r2 // fd2) * fd + r2 % fd2
+    mask_p = (c2 == src_p).astype(dtype)  # (nf2, nf)
+    mask_m = (c2 == src_p + fd2).astype(dtype)
+    rk = jax.lax.broadcasted_iota(jnp.int32, (nf2, k_c), 0)
+    ck = jax.lax.broadcasted_iota(jnp.int32, (nf2, k_c), 1)
+    mask_e = (ck == rk // fd2).astype(dtype)  # (nf2, k): contact of row
+
+    def pick_p(x):  # (bb, nf) -> (bb, nf2)
+        return jnp.sum(mask_p[None] * x[:, None, :], axis=-1)
+
+    def pick_m(x):
+        return jnp.sum(mask_m[None] * x[:, None, :], axis=-1)
+
+    def scat_pm(xp, xm):  # two (bb, nf2) -> (bb, nf)
+        return jnp.sum(
+            mask_p[None] * xp[:, :, None] + mask_m[None] * xm[:, :, None],
+            axis=1,
+        )
+
+    def expand(xk):  # per-contact (bb, k) -> per-row (bb, nf2)
+        return jnp.sum(mask_e[None] * xk[:, None, :], axis=-1)
+
+    def csum(x2):  # per-row (bb, nf2) -> per-contact (bb, k)
+        return jnp.sum(mask_e[None] * x2[:, :, None], axis=1)
+
+    # full-m2-frame masks for assembling the v-block updates without
+    # scatter: rows/cols [eq | n | f+]
+    rm2 = jax.lax.broadcasted_iota(jnp.int32, (m2, m2), 0)
+    cm2 = jax.lax.broadcasted_iota(jnp.int32, (m2, m2), 1)
+    eye_m2 = (rm2 == cm2).astype(dtype)
+    vstart = neq + k_c
+    in_v = (rm2 >= vstart) & (cm2 >= vstart)
+    same_blk = ((rm2 - vstart) // fd2) == ((cm2 - vstart) // fd2)
+    blockmask_v = (in_v & same_blk).astype(dtype)  # (m2, m2)
+    vn_mask = (
+        (rm2 >= vstart) & (cm2 >= neq) & (cm2 < vstart)
+        & (((rm2 - vstart) // fd2) == (cm2 - neq))
+    ).astype(dtype)
+    colid2 = jax.lax.broadcasted_iota(jnp.int32, (1, m2), 1)
+    pad_reg2 = ((colid2 >= neq_real) & (colid2 < neq)).astype(dtype)
+
+    def cat_parts(parts, offs, width):
+        """Place (bb, w_i) pieces at static column offsets in a (bb, width)
+        vector. Mosaic cannot lower concatenate of sliced operands with
+        mismatched sublane offsets; masked placement via iota one-hots
+        lowers cleanly."""
+        out = None
+        for part, off in zip(parts, offs):
+            wi = part.shape[-1]
+            r = jax.lax.broadcasted_iota(jnp.int32, (wi, width), 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, (wi, width), 1)
+            sel = (c == off + r).astype(dtype)
+            t = jnp.sum(sel[None] * part[:, :, None], axis=1)
+            out = t if out is None else out + t
+        return out
+
+    def pad_v(x2):  # (bb, nf2) -> (bb, m2) zeros on [eq, n]
+        return cat_parts([x2], [vstart], m2)
+
+    def factor(dinv):
+        dn_inv = dinv[:, :k_c]
+        df_inv = dinv[:, k_c : k_c + nf]
+        dc = 1.0 / dinv[:, k_c + nf :]  # cone d = z_c / s_c
+        dpi = pick_p(df_inv)
+        dmi = pick_m(df_inv)
+        sigma = 0.5 * (dpi + dmi)
+        delta = 0.5 * (dpi - dmi)
+        sig_inv = 1.0 / sigma
+        dsig = delta * sig_inv
+        s_j = csum(sig_inv)  # (bb, k)
+        cj = 2.0 * dc / (1.0 + 2.0 * dc * s_j)
+        cj_r = expand(cj)
+
+        # K = base_red + diag adds + rank-1 v-block + (v, n) coupling
+        diag_add = cat_parts(
+            [dn_inv, 0.5 * sigma - 0.5 * delta * dsig],
+            [neq, vstart], m2,
+        )
+        K = base_red + eye_m2[None] * (diag_add[:, None, :] + pad_reg2)
+        dsig_f = pad_v(dsig)
+        cj_f = pad_v(cj_r)
+        K = K + 0.5 * cj_f[:, :, None] * dsig_f[:, :, None] * dsig_f[:, None, :] * blockmask_v[None]
+        vn_coef = pad_v(dsig * expand(dc * mu_fric * (1.0 - cj * s_j)))
+        K = K + vn_coef[:, :, None] * vn_mask[None]
+
+        invK = inv_gj2(K)
+        return (invK, sig_inv, cj_r, dc, delta)
+
+    def solve_S_fac(fac, hvec):
+        """w with S w = hvec via the reduced system + closed-form recovery
+        of (wf+, wf-, wc)."""
+        invK, sig_inv, cj_r, dc, delta = fac
+        he = hvec[:, :neq]
+        hn = hvec[:, neq : neq + k_c]
+        hf = hvec[:, neq + k_c : neq + k_c + nf]
+        hc = hvec[:, m - k_c :]
+        rp = pick_p(hf)
+        rm_ = pick_m(hf)
+        g = expand(dc * hc)
+        q = rp + rm_ - 2.0 * g
+
+        def SM(x):  # (sigma + 2C)^-1 x, per-contact Sherman-Morrison
+            t = sig_inv * x
+            return t - cj_r * sig_inv * expand(csum(t))
+
+        rhs = cat_parts(
+            [he, hn, 0.5 * (rp - rm_ - delta * SM(q))],
+            [0, neq, vstart], m2,
+        )
+        w2 = _mv(invK, rhs)
+        we = w2[:, :neq]
+        wn = w2[:, neq : neq + k_c]
+        v = w2[:, neq + k_c :]
+        u = SM(q + 2.0 * expand(dc * mu_fric * wn) - delta * v)
+        wf = scat_pm(0.5 * (u + v), 0.5 * (u - v))
+        wc = dc * (hc - mu_fric * wn + csum(u))
+        return cat_parts(
+            [we, wn, wf, wc], [0, neq, neq + k_c, m - k_c], m
+        )
+
+    return factor, solve_S_fac
+
+
 def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim,
                  unroll=True, fric=None):
     """Build the kernel function with static sizes closed over.
@@ -116,68 +298,7 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim,
             ) + pad_reg
             return base + F + eye_m[None] * dfull[:, None, :]
 
-        def make_inv_gj(mm):
-            rid_aug = jax.lax.broadcasted_iota(jnp.int32, (mm, 2 * mm), 0)
-            rid_mm = jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 0)
-            cid_mm = jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 1)
-            eye_mm = (rid_mm == cid_mm).astype(dtype)
-
-            def inv_gj(S):
-                aug = jnp.concatenate(
-                    [S, jnp.broadcast_to(eye_mm[None], S.shape)], axis=-1
-                )
-
-                # fori_loop (uniform f32 carry legalizes; full unrolling
-                # blew the 16MB VMEM scoped stack at m ~ 90 from the long
-                # live ranges); row/col picked by masked reductions and the
-                # pivot row placed back by select (Mosaic has neither
-                # dynamic_slice on values nor scatter).
-                # The GJ is pivot-free; a denormal/zero leading pivot would
-                # emit NaN/inf that the NaN-freeze then silently hides
-                # behind a stale best iterate (ADVICE r2). Guard the pivot:
-                # for healthy pivots the `where` is a bit-exact identity,
-                # for a degenerate one the huge-but-finite row blows the
-                # residual so the best-iterate logic visibly rejects the
-                # step instead of freezing on NaN.
-                tiny = jnp.asarray(1e-30, dtype=dtype)
-
-                def safe_pv(pv):
-                    return jnp.where(jnp.abs(pv) < tiny, tiny, pv)
-
-                if (unroll and mm <= 64) or mm <= 32:
-                    # small systems: fully unrolled with static indexing —
-                    # substantially faster per step than the fori variant's
-                    # masked row/col extraction (2 full-matrix reductions
-                    # per step) and fits VMEM comfortably. Systems <= 32
-                    # rows (the reduced friction solve) unroll even at wide
-                    # blocks: the Mosaic compile blow-up is driven by
-                    # unrolled-step count x row width, and 26x52 planes
-                    # stay cheap where 46x92 did not.
-                    for kk in range(mm):
-                        piv = aug[:, kk, :] / safe_pv(aug[:, kk, kk][:, None])
-                        elim = aug - aug[:, :, kk][:, :, None] * piv[:, None, :]
-                        aug = jnp.where((rid_aug == kk)[None], piv[:, None, :], elim)
-                    return aug[:, :, mm:]
-
-                rid_m1 = jax.lax.broadcasted_iota(jnp.int32, (mm, 1), 0)
-                cid_2m = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * mm), 1)
-
-                def gj_step(kk, aug):
-                    rowmask = (rid_m1 == kk).astype(dtype)
-                    row = jnp.sum(aug * rowmask[None], axis=1, keepdims=True)
-                    colmask = (cid_2m == kk).astype(dtype)
-                    pv = jnp.sum(row * colmask[None], axis=2, keepdims=True)
-                    piv = row / safe_pv(pv)  # (bb, 1, 2mm)
-                    col = jnp.sum(aug * colmask[None], axis=2, keepdims=True)
-                    elim = aug - col * piv
-                    return jnp.where(rid_aug[None] == kk, piv, elim)
-
-                aug = jax.lax.fori_loop(0, mm, gj_step, aug)
-                return aug[:, :, mm:]
-
-            return inv_gj
-
-        inv_gj = make_inv_gj(m)
+        inv_gj = _make_gj_inverter(m, dtype, unroll)
 
         if fric is None:
 
@@ -189,137 +310,10 @@ def _make_kernel(nz, neq, nineq, neq_real, max_iter, eps, not_improved_lim,
 
         else:
             k_c, fd = fric
-            fd2 = fd // 2
-            nf = k_c * fd
-            nf2 = k_c * fd2
-            m2 = neq + k_c + nf2
-            base_red = basered_ref[:]
-            mu_fric = mu_ref[:]
-            inv_gj2 = make_inv_gj(m2)
-
-            # static selection masks (iota only; Mosaic has no gather).
-            # friction rows are per-contact blocks [d1..d_fd2, -d1..-d_fd2]
-            r2 = jax.lax.broadcasted_iota(jnp.int32, (nf2, nf), 0)
-            c2 = jax.lax.broadcasted_iota(jnp.int32, (nf2, nf), 1)
-            src_p = (r2 // fd2) * fd + r2 % fd2
-            mask_p = (c2 == src_p).astype(dtype)  # (nf2, nf)
-            mask_m = (c2 == src_p + fd2).astype(dtype)
-            rk = jax.lax.broadcasted_iota(jnp.int32, (nf2, k_c), 0)
-            ck = jax.lax.broadcasted_iota(jnp.int32, (nf2, k_c), 1)
-            mask_e = (ck == rk // fd2).astype(dtype)  # (nf2, k): contact of row
-
-            def pick_p(x):  # (bb, nf) -> (bb, nf2)
-                return jnp.sum(mask_p[None] * x[:, None, :], axis=-1)
-
-            def pick_m(x):
-                return jnp.sum(mask_m[None] * x[:, None, :], axis=-1)
-
-            def scat_pm(xp, xm):  # two (bb, nf2) -> (bb, nf)
-                return jnp.sum(
-                    mask_p[None] * xp[:, :, None] + mask_m[None] * xm[:, :, None],
-                    axis=1,
-                )
-
-            def expand(xk):  # per-contact (bb, k) -> per-row (bb, nf2)
-                return jnp.sum(mask_e[None] * xk[:, None, :], axis=-1)
-
-            def csum(x2):  # per-row (bb, nf2) -> per-contact (bb, k)
-                return jnp.sum(mask_e[None] * x2[:, :, None], axis=1)
-
-            # full-m2-frame masks for assembling the v-block updates without
-            # scatter: rows/cols [eq | n | f+]
-            rm2 = jax.lax.broadcasted_iota(jnp.int32, (m2, m2), 0)
-            cm2 = jax.lax.broadcasted_iota(jnp.int32, (m2, m2), 1)
-            eye_m2 = (rm2 == cm2).astype(dtype)
-            vstart = neq + k_c
-            in_v = (rm2 >= vstart) & (cm2 >= vstart)
-            same_blk = ((rm2 - vstart) // fd2) == ((cm2 - vstart) // fd2)
-            blockmask_v = (in_v & same_blk).astype(dtype)  # (m2, m2)
-            vn_mask = (
-                (rm2 >= vstart) & (cm2 >= neq) & (cm2 < vstart)
-                & (((rm2 - vstart) // fd2) == (cm2 - neq))
-            ).astype(dtype)
-            colid2 = jax.lax.broadcasted_iota(jnp.int32, (1, m2), 1)
-            pad_reg2 = ((colid2 >= neq_real) & (colid2 < neq)).astype(dtype)
-
-            def cat_parts(parts, offs, width):
-                """Place (bb, w_i) pieces at static column offsets in a
-                (bb, width) vector. Mosaic cannot lower concatenate of
-                sliced operands with mismatched sublane offsets; masked
-                placement via iota one-hots lowers cleanly."""
-                out = None
-                for part, off in zip(parts, offs):
-                    wi = part.shape[-1]
-                    r = jax.lax.broadcasted_iota(jnp.int32, (wi, width), 0)
-                    c = jax.lax.broadcasted_iota(jnp.int32, (wi, width), 1)
-                    sel = (c == off + r).astype(dtype)
-                    t = jnp.sum(sel[None] * part[:, :, None], axis=1)
-                    out = t if out is None else out + t
-                return out
-
-            def pad_v(x2):  # (bb, nf2) -> (bb, m2) zeros on [eq, n]
-                return cat_parts([x2], [vstart], m2)
-
-            def factor(dinv):
-                dn_inv = dinv[:, :k_c]
-                df_inv = dinv[:, k_c : k_c + nf]
-                dc = 1.0 / dinv[:, k_c + nf :]  # cone d = z_c / s_c
-                dpi = pick_p(df_inv)
-                dmi = pick_m(df_inv)
-                sigma = 0.5 * (dpi + dmi)
-                delta = 0.5 * (dpi - dmi)
-                sig_inv = 1.0 / sigma
-                dsig = delta * sig_inv
-                s_j = csum(sig_inv)  # (bb, k)
-                cj = 2.0 * dc / (1.0 + 2.0 * dc * s_j)
-                cj_r = expand(cj)
-
-                # K = base_red + diag adds + rank-1 v-block + (v, n) coupling
-                diag_add = cat_parts(
-                    [dn_inv, 0.5 * sigma - 0.5 * delta * dsig],
-                    [neq, vstart], m2,
-                )
-                K = base_red + eye_m2[None] * (diag_add[:, None, :] + pad_reg2)
-                dsig_f = pad_v(dsig)
-                cj_f = pad_v(cj_r)
-                K = K + 0.5 * cj_f[:, :, None] * dsig_f[:, :, None] * dsig_f[:, None, :] * blockmask_v[None]
-                vn_coef = pad_v(dsig * expand(dc * mu_fric * (1.0 - cj * s_j)))
-                K = K + vn_coef[:, :, None] * vn_mask[None]
-
-                invK = inv_gj2(K)
-                return (invK, sig_inv, cj_r, dc, delta)
-
-            def solve_S_fac(fac, hvec):
-                """w with S w = hvec via the reduced system + closed-form
-                recovery of (wf+, wf-, wc)."""
-                invK, sig_inv, cj_r, dc, delta = fac
-                he = hvec[:, :neq]
-                hn = hvec[:, neq : neq + k_c]
-                hf = hvec[:, neq + k_c : neq + k_c + nf]
-                hc = hvec[:, m - k_c :]
-                rp = pick_p(hf)
-                rm_ = pick_m(hf)
-                g = expand(dc * hc)
-                q = rp + rm_ - 2.0 * g
-
-                def SM(x):  # (sigma + 2C)^-1 x, per-contact Sherman-Morrison
-                    t = sig_inv * x
-                    return t - cj_r * sig_inv * expand(csum(t))
-
-                rhs = cat_parts(
-                    [he, hn, 0.5 * (rp - rm_ - delta * SM(q))],
-                    [0, neq, vstart], m2,
-                )
-                w2 = _mv(invK, rhs)
-                we = w2[:, :neq]
-                wn = w2[:, neq : neq + k_c]
-                v = w2[:, neq + k_c :]
-                u = SM(q + 2.0 * expand(dc * mu_fric * wn) - delta * v)
-                wf = scat_pm(0.5 * (u + v), 0.5 * (u - v))
-                wc = dc * (hc - mu_fric * wn + csum(u))
-                return cat_parts(
-                    [we, wn, wf, wc], [0, neq, neq + k_c, m - k_c], m
-                )
+            factor, solve_S_fac = _make_fric_ops(
+                neq, neq_real, k_c, fd, m, bb, dtype,
+                basered_ref[:], mu_ref[:], unroll,
+            )
 
         def solve_kkt(fac, d, rx, rs, rz, ry):
             invQ_rx = _mv(invQ, rx)
@@ -536,9 +530,21 @@ def _pdipm_pallas_flat(
     # the (m, 2m) GJ augmented matrix plus a handful of (m, m)/(nz, nz)
     # planes; cap the block so a block's working set stays ~8MB.
     if block_b is None:
-        m_rows = neq + nineq
-        per_lane = 4 * (2 * m_rows * m_rows + 4 * m_rows * m_rows + 3 * nz * nz)
-        cap = max(8, min(32, (8_000_000 // max(per_lane, 1)) // 8 * 8))
+        if fric is not None:
+            # reduced solve: the winning layout is the FEWEST grid steps
+            # (measured at 48 lanes: one 48-wide step 398 us vs two 32-wide
+            # 587 us vs three 16-wide 497 us — grid steps serialize on the
+            # TensorCore). The scoped-VMEM footprint is the unrolled GJ's
+            # live-range UNION, not the nominal arrays: measured 19.04MB at
+            # 64 lanes / m2 = 26 (~300KB per lane, ~440 bytes * m2^2);
+            # budget 15.5MB of the 16MB scoped limit (48 lanes = 14.3MB ok)
+            m2_ = neq + fric[0] + fric[0] * (fric[1] // 2)
+            per_lane = 440 * m2_ * m2_
+            cap = max(8, min(64, (15_500_000 // max(per_lane, 1)) // 8 * 8))
+        else:
+            m_rows = neq + nineq
+            per_lane = 4 * (2 * m_rows * m_rows + 4 * m_rows * m_rows + 3 * nz * nz)
+            cap = max(8, min(32, (8_000_000 // max(per_lane, 1)) // 8 * 8))
         block_b = min(_round_up(B, 8), cap)
 
     # pad batch to a multiple of block_b by edge replication (independent
@@ -693,13 +699,19 @@ def pdipm_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_grad_kernel(nz, neq, nineq, neq_real, unroll=True):
+def _make_grad_kernel(nz, neq, nineq, neq_real, unroll=True, fric=None):
     """KKT solve with rhs (dl_dzhat, 0, 0, 0) — the only linear-algebra work
-    in the LCP backward. Same GJ machinery as the forward kernel."""
+    in the LCP backward. Same GJ machinery as the forward kernel, including
+    the reduced friction-structure solve (`fric=(k, fd)`, see _make_fric_ops)."""
     m = neq + nineq
 
-    def kernel(invq_ref, base_ref, g_ref, a_ref, f_ref, d_ref, rx_ref,
-               dx_out, dlam_out, dnu_out):
+    def kernel(*refs):
+        if fric is not None:
+            (invq_ref, base_ref, basered_ref, g_ref, a_ref, f_ref, mu_ref,
+             d_ref, rx_ref, dx_out, dlam_out, dnu_out) = refs
+        else:
+            (invq_ref, base_ref, g_ref, a_ref, f_ref, d_ref, rx_ref,
+             dx_out, dlam_out, dnu_out) = refs
         dtype = rx_ref.dtype
         invQ = invq_ref[:]
         base = base_ref[:]
@@ -710,51 +722,34 @@ def _make_grad_kernel(nz, neq, nineq, neq_real, unroll=True):
         rx = rx_ref[:]
         bb = rx.shape[0]
 
-        rid = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
-        cid = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
-        eye_m = (rid == cid).astype(dtype)
-        colid = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
-        pad_reg = ((colid >= neq_real) & (colid < neq)).astype(dtype)
+        if fric is None:
+            rid = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+            cid = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+            eye_m = (rid == cid).astype(dtype)
+            colid = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+            pad_reg = ((colid >= neq_real) & (colid < neq)).astype(dtype)
 
-        dfull = jnp.concatenate(
-            [jnp.zeros((bb, neq), dtype=dtype), 1.0 / d], axis=-1
-        ) + pad_reg
-        S = base + F + eye_m[None] * dfull[:, None, :]
+            dfull = jnp.concatenate(
+                [jnp.zeros((bb, neq), dtype=dtype), 1.0 / d], axis=-1
+            ) + pad_reg
+            S = base + F + eye_m[None] * dfull[:, None, :]
+            inv_gj = _make_gj_inverter(m, dtype, unroll)
+            fac = inv_gj(S)
 
-        rid_aug = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * m), 0)
-        aug = jnp.concatenate([S, jnp.broadcast_to(eye_m[None], S.shape)], axis=-1)
+            def solve_S_fac(fac, hvec):
+                return _mv(fac, hvec)
 
-        # pivot guard: see inv_gj in the forward kernel
-        tiny = jnp.asarray(1e-30, dtype=dtype)
-
-        def safe_pv(pv):
-            return jnp.where(jnp.abs(pv) < tiny, tiny, pv)
-
-        if unroll and m <= 64:
-            for kk in range(m):
-                piv = aug[:, kk, :] / safe_pv(aug[:, kk, kk][:, None])
-                elim = aug - aug[:, :, kk][:, :, None] * piv[:, None, :]
-                aug = jnp.where((rid_aug == kk)[None], piv[:, None, :], elim)
         else:
-            rid_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-            cid_2m = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * m), 1)
-
-            def gj_step(kk, aug):
-                rowmask = (rid_m == kk).astype(dtype)
-                row = jnp.sum(aug * rowmask[None], axis=1, keepdims=True)
-                colmask = (cid_2m == kk).astype(dtype)
-                pv = jnp.sum(row * colmask[None], axis=2, keepdims=True)
-                piv = row / safe_pv(pv)
-                col = jnp.sum(aug * colmask[None], axis=2, keepdims=True)
-                elim = aug - col * piv
-                return jnp.where(rid_aug[None] == kk, piv, elim)
-
-            aug = jax.lax.fori_loop(0, m, gj_step, aug)
-        invS = aug[:, :, m:]
+            k_c, fd = fric
+            factor, solve_S_fac = _make_fric_ops(
+                neq, neq_real, k_c, fd, m, bb, dtype,
+                basered_ref[:], mu_ref[:], unroll,
+            )
+            fac = factor(1.0 / d)
 
         invQ_rx = _mv(invQ, rx)
         hvec = jnp.concatenate([_mv(A, invQ_rx), _mv(G, invQ_rx)], axis=-1)
-        w = -_mv(invS, hvec)
+        w = -solve_S_fac(fac, hvec)
         w_eq, w_ineq = w[:, :neq], w[:, neq:]
         g1 = -rx - _mtv(G, w_ineq) - _mtv(A, w_eq)
         dx_out[:] = _mv(invQ, g1)
@@ -764,17 +759,28 @@ def _make_grad_kernel(nz, neq, nineq, neq_real, unroll=True):
     return kernel
 
 
-def _kkt_grad_flat(invQ, base, G, A, Ffull, d, rx, block_b, interpret):
+def _kkt_grad_flat(invQ, base, G, A, Ffull, d, rx, block_b, interpret,
+                   structure=None):
     B, nineq, nz = G.shape
     m = base.shape[-1]
     neq = m - nineq
     dtype = rx.dtype
+    fric = None
+    if _fric_ok(structure, nineq, neq):
+        fric = (structure[1], structure[2])
 
     if block_b is None:
         # same grid-serialization economics as the forward kernel: one KKT
         # solve per lane is latency-bound, pack blocks as wide as VMEM allows
-        per_lane = 4 * (2 * m * m + 4 * m * m + 3 * nz * nz)
-        cap = max(8, min(32, (8_000_000 // max(per_lane, 1)) // 8 * 8))
+        # (fewest grid steps for the reduced solve — see _pdipm_pallas_flat)
+        if fric is not None:
+            # same scoped-VMEM calibration as the forward kernel
+            m2_ = neq + fric[0] + fric[0] * (fric[1] // 2)
+            per_lane = 440 * m2_ * m2_
+            cap = max(8, min(64, (15_500_000 // max(per_lane, 1)) // 8 * 8))
+        else:
+            per_lane = 4 * (2 * m * m + 4 * m * m + 3 * nz * nz)
+            cap = max(8, min(32, (8_000_000 // max(per_lane, 1)) // 8 * 8))
         block_b = min(_round_up(B, 8), cap)
 
     Bp = _round_up(max(B, block_b), block_b)
@@ -786,8 +792,9 @@ def _kkt_grad_flat(invQ, base, G, A, Ffull, d, rx, block_b, interpret):
             [x, jnp.broadcast_to(x[-1:], (Bp - B,) + x.shape[1:])], axis=0
         )
 
-    args = tuple(map(padb, (invQ, base, G, A, Ffull, d, rx)))
-    kernel = _make_grad_kernel(nz, neq, nineq, neq, unroll=block_b <= 8)
+    inputs = list(map(padb, (invQ, base, G, A, Ffull, d, rx)))
+    kernel = _make_grad_kernel(nz, neq, nineq, neq, unroll=block_b <= 8,
+                               fric=fric)
 
     mat = lambda r, c: pl.BlockSpec(
         (block_b, r, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -795,13 +802,35 @@ def _kkt_grad_flat(invQ, base, G, A, Ffull, d, rx, block_b, interpret):
     vec = lambda n: pl.BlockSpec(
         (block_b, n), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        mat(nz, nz), mat(m, m), mat(nineq, nz), mat(neq, nz), mat(m, m),
+        vec(nineq), vec(nz),
+    ]
+    if fric is not None:
+        k_c, fd = fric
+        fd2 = fd // 2
+        m2 = neq + k_c + k_c * fd2
+        idx = np.concatenate(
+            [
+                np.arange(neq + k_c),
+                neq + k_c
+                + (np.arange(k_c * fd2) // fd2) * fd
+                + np.arange(k_c * fd2) % fd2,
+            ]
+        )
+        base_red = base[:, idx][:, :, idx]
+        # mu from the padded Ffull: cone rows at [neq+k(1+fd):], normal cols
+        # at [neq : neq+k]
+        mu_f = jnp.diagonal(
+            Ffull[:, neq + k_c * (1 + fd) :, neq : neq + k_c],
+            axis1=-2, axis2=-1,
+        )
+        inputs = inputs[:2] + [padb(base_red)] + inputs[2:5] + [padb(mu_f)] + inputs[5:]
+        in_specs = in_specs[:2] + [mat(m2, m2)] + in_specs[2:5] + [vec(k_c)] + in_specs[5:]
     dx, dlam, dnu = pl.pallas_call(
         kernel,
         grid=(Bp // block_b,),
-        in_specs=[
-            mat(nz, nz), mat(m, m), mat(nineq, nz), mat(neq, nz), mat(m, m),
-            vec(nineq), vec(nz),
-        ],
+        in_specs=in_specs,
         out_specs=[vec(nz), vec(nineq), vec(neq)],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, nz), dtype),
@@ -809,18 +838,23 @@ def _kkt_grad_flat(invQ, base, G, A, Ffull, d, rx, block_b, interpret):
             jax.ShapeDtypeStruct((Bp, neq), dtype),
         ],
         interpret=interpret,
-    )(*args)
+    )(*inputs)
     return dx[:B], dlam[:B], dnu[:B]
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def kkt_grad_pallas(invQ, G, A, F, d, rx, block_b=None, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "interpret", "structure")
+)
+def kkt_grad_pallas(invQ, G, A, F, d, rx, block_b=None, interpret=False,
+                    structure=None):
     """Solve the backward KKT system (reference lcp.py:184-198: rhs =
     (dl_dzhat, 0, 0, 0)) for a batch, entirely in one kernel launch.
 
     Returns (dx, dlam, dnu). `invQ` must be supplied (analytic for the
     block-diagonal mass matrix — engine.mass_matrix_inv); `F` is the
-    (nineq, nineq) coupling, padded internally. neq may be 0."""
+    (nineq, nineq) coupling, padded internally. neq may be 0.
+    `structure=("fric", k, fd)` additionally asserts the physics +/-
+    friction-pair layout and uses the reduced Schur solve (_make_fric_ops)."""
     B, nineq, nz = G.shape
     neq_real = A.shape[-2]
     dtype = invQ.dtype
@@ -834,7 +868,8 @@ def kkt_grad_pallas(invQ, G, A, F, d, rx, block_b=None, interpret=False):
 
     @jax.custom_batching.custom_vmap
     def impl(invQ, base, G, A, Ffull, d, rx):
-        return _kkt_grad_flat(invQ, base, G, A, Ffull, d, rx, block_b, interpret)
+        return _kkt_grad_flat(invQ, base, G, A, Ffull, d, rx, block_b,
+                              interpret, structure)
 
     @impl.def_vmap
     def _vmap_rule(axis_size, in_batched, *args):

@@ -102,6 +102,12 @@ def test_kkt_grad_pallas_matches_xla():
         blocks.append(L @ L.T + 3 * jnp.eye(3))
     Q = jax.scipy.linalg.block_diag(*blocks)[None]
     _, p, G, h, A, b, F, k, fd = _fric_problem(key, nz=nz, neq=neq, k=k, fd=fd)
+    # the ("fric_pallas", ...) structure flag asserts the ENGINE's friction
+    # layout, whose direction rows come in per-contact +/- pairs
+    # (engine.friction_dirs) — rebuild Jf accordingly
+    Jb = jax.random.normal(jax.random.fold_in(key, 99), (1, k, fd // 2, nz))
+    Jf = jnp.concatenate([Jb, -Jb], axis=2).reshape(1, k * fd, nz)
+    G = jnp.concatenate([G[:, :k], Jf, jnp.zeros((1, k, nz))], axis=1)
 
     sol = pdipm_solve_raw(Q, p, G, h, A, b, F, 10, 1e-9, 3, None)
 
