@@ -53,10 +53,12 @@ def _build(cfg_overrides):
         max_bisect=8,
         # the reference's f64 tolerances are below f32 resolution; scale them
         tol=1e-5 if f32 else 1e-8,
-        # A/B-selected backward knob (benchmarks/ab_bwd.py, r3): unrolling the
-        # short substep scan removes its per-substep scan/transpose machinery
-        # (593 vs 566 steps/s single); frame_unroll and the dots remat policy
-        # measured neutral-to-negative, remat_replay off costs 2x.
+        # A/B'd backward knob (benchmarks/ab_bwd.py): +5% single in r3; r4
+        # re-measurement (both paths, post reduced-kernel) shows it NEUTRAL
+        # at runtime (single 590.5 vs 591.5, batch16 3894 vs 3905) but 2.5x
+        # faster to compile (62 s vs 159 s) — kept for the compile win.
+        # frame_unroll and the dots remat policy measured neutral-to-
+        # negative, remat_replay off costs 2x (r3).
         substep_unroll=4,
     )
     # Overrides INTENTIONALLY win over the A/B-selected knobs above: that is
@@ -195,8 +197,11 @@ def main():
         steps_per_sec = N_FRAMES / dt
         metric = "steps/sec, 100-frame bounce rollout (fwd+bwd)"
         # production seed-sweep throughput on the same chip (the framework's
-        # primary deployment shape; the reference runs sweeps as N processes)
+        # primary deployment shape; the reference runs sweeps as N
+        # processes). batch=64 is the measured single-chip saturation point
+        # (128 lanes adds <3%).
         b16, b16_spread = measure_batch(16)
+        b64, b64_spread = measure_batch(64)
         extra = {
             "fwd_only_steps_per_sec": round(N_FRAMES / dt_fwd, 2),
             "bwd_share": round(max(1.0 - dt_fwd / dt, 0.0), 3),
@@ -204,6 +209,9 @@ def main():
             "batch16_steps_per_sec": round(b16, 2),
             "batch16_vs_baseline": round(b16 / TORCH_BASELINE_STEPS_PER_SEC, 2),
             "batch16_spread": round(b16_spread, 3),
+            "batch64_steps_per_sec": round(b64, 2),
+            "batch64_vs_baseline": round(b64 / TORCH_BASELINE_STEPS_PER_SEC, 2),
+            "batch64_spread": round(b64_spread, 3),
         }
 
     vs = steps_per_sec / TORCH_BASELINE_STEPS_PER_SEC

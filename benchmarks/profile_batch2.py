@@ -180,6 +180,27 @@ def main():
 
         results["vmapped PDIPM probe (D=1)"] = per_iter_time(pd_body, st0)
 
+        def finish_body(st):
+            """finish_step_batched with a FIXED probe cache (built once from
+            st0): isolates the differentiable replay + TOC + record glue."""
+            k, ok, cache = BT._probe_batched(spec, bb, st, dtf)
+            st2, rec = BT.finish_step_batched(spec, bb, st, dtf, k, ok, cache)
+            return st2.replace(t=st.t)
+
+        # probe+finish chained is step_dt; subtract probe_batched for finish
+        def replay_body(st):
+            k, ok, cache = BT._probe_batched(spec, bb, st, dtf)
+
+            def rep(bd, s, d, ca):
+                from diffsdfsim_tpu.physics.world import _replay as _rp
+                return _rp(_spec_with_bodies(spec, bd), s, d, ca)
+
+            dt_k = dtf * 0.5 ** k.astype(st.pos.dtype)
+            new_v, q2, p2, contacts = jax.vmap(rep)(bb, st, dt_k, cache)
+            return st.replace(pos=q2[..., :3] * 0 + p2)
+
+        results["probe + vmapped replay only"] = per_iter_time(replay_body, st0)
+
         def stepdt_body(st):
             st2, rec = BT.step_dt_batched(spec, bb, st, dtf)
             return st2.replace(t=st.t)  # keep t fixed so the chain state is stationary

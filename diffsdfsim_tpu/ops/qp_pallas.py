@@ -542,9 +542,12 @@ def _pdipm_pallas_flat(
             per_lane = 440 * m2_ * m2_
             cap = max(8, min(64, (15_500_000 // max(per_lane, 1)) // 8 * 8))
         else:
+            # calibrated to the fori GJ's measured live-range union: a
+            # 32-wide m=92 block allocated 18.93MB scoped (~72 B x m^2 per
+            # lane) and OOM'd the 16MB limit; budget 15.5MB
             m_rows = neq + nineq
-            per_lane = 4 * (2 * m_rows * m_rows + 4 * m_rows * m_rows + 3 * nz * nz)
-            cap = max(8, min(32, (8_000_000 // max(per_lane, 1)) // 8 * 8))
+            per_lane = 72 * m_rows * m_rows
+            cap = max(8, min(32, (15_500_000 // max(per_lane, 1)) // 8 * 8))
         block_b = min(_round_up(B, 8), cap)
 
     # pad batch to a multiple of block_b by edge replication (independent
@@ -779,8 +782,9 @@ def _kkt_grad_flat(invQ, base, G, A, Ffull, d, rx, block_b, interpret,
             per_lane = 440 * m2_ * m2_
             cap = max(8, min(64, (15_500_000 // max(per_lane, 1)) // 8 * 8))
         else:
-            per_lane = 4 * (2 * m * m + 4 * m * m + 3 * nz * nz)
-            cap = max(8, min(32, (8_000_000 // max(per_lane, 1)) // 8 * 8))
+            # same fori-GJ live-range calibration as the forward kernel
+            per_lane = 72 * m * m
+            cap = max(8, min(32, (15_500_000 // max(per_lane, 1)) // 8 * 8))
         block_b = min(_round_up(B, 8), cap)
 
     Bp = _round_up(max(B, block_b), block_b)
