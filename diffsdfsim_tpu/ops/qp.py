@@ -138,6 +138,17 @@ def _factor_S(cache: _KKTCache, d):
     neq = cache.A.shape[-2]
     nineq = cache.G.shape[-2]
     dtype = d.dtype
+    if dtype == jnp.float32:
+        # f32 conditioning cap (forward analogue of _lcp_bwd's d-cap):
+        # strongly-active rows drive d = z/s through the f32 dynamic range
+        # and jnp.linalg.cholesky on the fric/plain SPD block returns NaN —
+        # the whole iterate then NaNs before any best-iterate exists
+        # (observed: solver_backend="xla" on TPU f32 NaN'd 6/10 sweep
+        # seeds). Equivalent to 1/cap diagonal regularization on those
+        # rows; a no-op in f64 (the accuracy/parity path) and unnecessary
+        # in the Pallas kernel (pivot-guarded GJ). The cap matches the
+        # backward's (1e5).
+        d = jnp.clip(d, min=1e-5, max=1e5)
     dinv = 1.0 / d
 
     if cache.structure is not None and cache.structure[0] == "fric":
@@ -154,6 +165,15 @@ def _factor_S(cache: _KKTCache, d):
         Ebig = jnp.repeat(jnp.eye(k, dtype=dtype), fd, axis=0)  # (nf,k)
         edce = jnp.einsum("ik,...k,jk->...ij", Ebig, dc, Ebig)
         M = M.at[..., neq + k :, neq + k :].add(edce)
+        if dtype == jnp.float32:
+            # f32 PD jitter: near-degenerate interior-point diagonals make M
+            # numerically indefinite in single precision and cholesky emits
+            # NaN (see the d-cap note above); a relative 1e-6 ridge keeps
+            # the factorization finite with negligible bias. No-op in f64.
+            diag_scale = jnp.max(
+                jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1)), axis=-1
+            )
+            M = M + (1e-6 * diag_scale)[..., None, None] * jnp.eye(m, dtype=dtype)
         cholM = jnp.linalg.cholesky(M)
         U = jnp.concatenate(
             [
