@@ -132,6 +132,16 @@ class SimConfig:
     # trades recomputing the frame forward for not saving its residuals —
     # wins when the backward is HBM-bound on saved small tensors
     remat_frames: bool = False
+    # differentiable-replay execution mode:
+    # - "emit": the substep's forward pass re-emits the probe's cached
+    #   VALUES (new_v from the cached primal-dual solution, poses by one
+    #   integrate, contact values gradient-free and cond-skipped in free
+    #   flight) through a custom_vjp whose backward runs the exact vjp of
+    #   the inline replay. Numerically identical values and gradients;
+    #   removes ~all of the replay's XLA glue from the forward pass (the
+    #   round-4 profile's 1.2 ms batch-size-independent wall).
+    # - "inline": legacy on-tape replay (parity/debug reference).
+    replay_mode: str = "emit"
     # rematerialize each substep's differentiable replay block (replay +
     # contact recompute + TOC) in the backward. The replay forward is cheap
     # (the probe's cached LCP solution is re-emitted, no interior-point
@@ -162,6 +172,13 @@ class SimConfig:
     # directions per pair)
     max_filter_clusters: int = 4
     fw_iters: int = 32  # reference contacts.py:63
+    # analytic 2D narrowphase (physics2d/narrowphase.py, reference 2D
+    # DiffContactHandler: circle-circle / circle-hull GJK+SAT / hull-hull
+    # SAT + incident-edge clipping) as the contact CANDIDATE generator for
+    # planar worlds built from Circle/Rect/Hull bodies — replaces the
+    # Frank-Wolfe mesh search per supported pair. Set by
+    # physics2d.make_world_2d(narrowphase="analytic").
+    narrowphase2d: bool = False
     # mesh extraction
     mesh_subdiv: int = 3  # icosphere template subdivisions for projection mesh
     mesh_project_iters: int = 12

@@ -20,17 +20,21 @@ Here the batch axis is explicit, so whole-batch `lax.cond`s are plain JAX:
 - the bisection ladder runs only when ANY lane rejects the rung-0 (full
   frame dt) probe — the probe itself is one lane-flattened kernel batch;
 - inner per-lane physics reuses the same pure functions as the unbatched
-  path (`world._probe_rung0` / `_probe_ladder_full` / `finish_step`) under
-  `jax.vmap`, with bodies passed as explicit mapped operands.
+  path (`world._probe_rungs` / `_replay_emit` / `finish_step` machinery)
+  under `jax.vmap`, with bodies passed as explicit mapped operands.
 
 This is also the shape that shards: the leading axis can carry a
 `NamedSharding` over a device mesh, and the whole-batch `jnp.any`
 reductions become XLA collectives (see parallel/sharding.py).
 
-Constraint (same as cfg.ladder_batch_gate): `spec.joints` / `spec.forces`
-stay in the closure, so they must not hold per-lane traced leaves — bodies
-and state are the batched carriers. Worlds whose forces close over per-lane
-parameters (e.g. sysid's Push) must use the vmap path instead.
+Per-lane FORCE parameters (e.g. sysid's optimized push magnitude) are
+supported by passing `forces_b` — a batched force pytree (see
+physics/forces.py registration), typically from
+`make_world_batched(..., return_forces=True)` — to the batched entry
+points; when omitted, `spec.forces` is broadcast (and must then hold no
+per-lane traced leaves). `spec.joints` stay in the closure and must not
+hold traced leaves (none of the built-in joints do — their rows are
+functions of state only).
 """
 
 from __future__ import annotations
@@ -46,10 +50,14 @@ from .world import (
     WorldSpec,
     WorldState,
     _accept_thresh,
+    _contacts_any_valid,
+    _empty_contacts_value,
     _integrate,
-    _probe_rung0,
     _probe_rungs,
     _replay,
+    _replay_emit,
+    _replay_values,
+    _spec_with,
     _spec_with_bodies,
     _toc_recompute,
 )
@@ -64,7 +72,7 @@ def _select_lanes(pred, a, b):
     )
 
 
-def make_world_batched(build_fn, *batched_args):
+def make_world_batched(build_fn, *batched_args, return_forces: bool = False):
     """Batch a world-building function over leading-axis arguments.
 
     ``build_fn(*args) -> (spec, state)`` is the usual single-world
@@ -73,19 +81,37 @@ def make_world_batched(build_fn, *batched_args):
     ``bodies_b``/``state_b`` carry a leading batch axis on every leaf and
     ``spec`` provides the (lane-uniform) static structure — pair tables,
     joints, forces, cfg. Lane 0's traced body leaves remain in
-    ``spec.bodies`` but the batched entry points never read them."""
+    ``spec.bodies`` but the batched entry points never read them.
+
+    With ``return_forces=True`` the result is ``(spec, bodies_b, forces_b,
+    state_b)`` where ``forces_b`` is the per-lane force pytree (leaves carry
+    the batch axis; force objects whose parameters are python constants
+    contribute no leaves and broadcast for free) — pass it as the batched
+    entry points' ``forces_b`` so worlds with per-lane force parameters
+    (sysid's Push) run the batched-native path."""
 
     def leaves(*a):
         spec, state = build_fn(*a)
-        return spec.bodies, state
+        return spec.bodies, spec.forces, state
 
-    bodies_b, state_b = jax.vmap(leaves)(*batched_args)
+    bodies_b, forces_b, state_b = jax.vmap(leaves)(*batched_args)
     lane0 = jax.tree_util.tree_map(lambda x: x[0], batched_args)
     spec, _ = build_fn(*lane0)
+    if return_forces:
+        return spec, bodies_b, forces_b, state_b
     return spec, bodies_b, state_b
 
 
-def _probe_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b):
+def _forces_arg(spec: WorldSpec, forces_b):
+    """(operand, vmap axis) for the forces pytree: per-lane when provided,
+    broadcast spec.forces otherwise."""
+    if forces_b is None:
+        return spec.forces, None
+    return forces_b, 0
+
+
+def _probe_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b,
+                   forces_b=None):
     """Gradient-free bisection probe for the whole batch (reference
     world.py:344-356 per lane), MERGED first stage: rungs 0..ladder_stage1
     probe together for every lane in one lane-flattened kernel batch; the
@@ -108,15 +134,17 @@ def _probe_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b):
     cfg = spec.cfg
     mb = cfg.max_bisect
     s1 = max(min(cfg.ladder_stage1, mb), 0) if cfg.ladder_stage1 >= 0 else mb
+    fr, fr_ax = _forces_arg(spec, forces_b)
+    fr = jax.tree_util.tree_map(sg, fr)
 
     def rungs(lo, hi):
-        def f(bd, st, dtf):
-            s = _spec_with_bodies(spec, bd)
+        def f(bd, frc, st, dtf):
+            s = _spec_with(spec, bd, frc)
             return _probe_rungs(s, st, dtf, _accept_thresh(s, st), lo, hi)
 
-        return f
+        return jax.vmap(f, in_axes=(0, fr_ax, 0, 0))
 
-    f1, k1, raw1, sol1 = jax.vmap(rungs(0, s1))(bodies_b, state_b, dt_frame_b)
+    f1, k1, raw1, sol1 = rungs(0, s1)(bodies_b, fr, state_b, dt_frame_b)
     if s1 == mb:
         found, k, raw, sol = f1, k1, raw1, sol1
     else:
@@ -125,8 +153,8 @@ def _probe_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b):
             return f1, k1, raw1, sol1
 
         def deep(_):
-            f2, k2, raw2, sol2 = jax.vmap(rungs(s1 + 1, mb))(
-                bodies_b, state_b, dt_frame_b
+            f2, k2, raw2, sol2 = rungs(s1 + 1, mb)(
+                bodies_b, fr, state_b, dt_frame_b
             )
             return _select_lanes(
                 f1, (f1, k1, raw1, sol1), (f2, k2, raw2, sol2)
@@ -139,7 +167,7 @@ def _probe_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b):
 
 
 def finish_step_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b, k_b,
-                        ok_b, cache_b):
+                        ok_b, cache_b, forces_b=None):
     """Differentiable substep tail for the whole batch (world.finish_step per
     lane), with the TOC re-emission under a WHOLE-BATCH lax.cond.
 
@@ -149,12 +177,62 @@ def finish_step_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b, k_b,
     contact. Here the predicate reduces over lanes: only substeps where SOME
     lane gains a new contact (bounce frames) execute the vmapped TOC block;
     lanes without a new contact inside it are masked back by select, which is
-    exactly what the old run-both path computed for them."""
+    exactly what the old run-both path computed for them.
+
+    In emission mode (cfg.replay_mode == "emit", world._replay_emit) the
+    severed contact-value recompute is likewise hoisted under a whole-batch
+    cond: free-flight/resting substeps (no lane selected a contact) emit the
+    static empty buffer for the entire batch."""
     cfg = spec.cfg
     dtype = state_b.pos.dtype
     sg = jax.lax.stop_gradient
+    fr, fr_ax = _forces_arg(spec, forces_b)
 
-    def diff_block(bodies_b, state_b, dt_k_b, cache_b):
+    # emission mode: severed contact VALUES for the whole batch, computed
+    # outside the (possibly rematerialized) diff_block and under a
+    # WHOLE-BATCH cond — free-flight/resting substeps (no lane selected a
+    # contact) emit the static empty buffer for the entire batch
+    cts_val_b = None
+    if cfg.replay_mode == "emit":
+        dt_k0 = sg(dt_frame_b) * 0.5 ** k_b.astype(dtype)
+        if cfg.time_of_contact_diff:
+            use_pair0 = sg(state_b.had_toc)
+        else:
+            use_pair0 = jnp.zeros(dt_k0.shape, dtype=bool)
+        ld = sg(state_b.last_dt)
+        dt_val = jnp.where(use_pair0, -ld + (ld + dt_k0), dt_k0)
+        cache_sg = jax.tree_util.tree_map(sg, cache_b)
+        cc_b, _ = cache_sg
+        state_sg = jax.tree_util.tree_map(sg, state_b)
+
+        def rv(bd, st, d, ca):
+            return _replay_values(_spec_with_bodies(spec, bd), st, d, ca)
+
+        _, q2v_b, p2v_b = jax.vmap(rv)(bodies_b, state_sg, dt_val, cache_sg)
+        anyv = jax.vmap(_contacts_any_valid)(cc_b)  # (B,)
+
+        def have(_):
+            def fc(bd, q, p, cc):
+                bsg = jax.tree_util.tree_map(sg, bd)
+                return find_contacts(
+                    bsg, q, p, spec.directed_pairs, spec.n_unordered,
+                    cfg, cache=cc,
+                )
+
+            return jax.vmap(fc)(bodies_b, q2v_b, p2v_b, cc_b)
+
+        def none(_):
+            B = state_b.pos.shape[0]
+            e = _empty_contacts_value(spec, dtype, jnp.zeros((), dtype))
+            eb = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), e
+            )
+            return eb.replace(max_pen_all=cc_b.max_pen_all)
+
+        cts_val_b = jax.lax.cond(jnp.any(anyv), have, none, None)
+        cts_val_b = jax.tree_util.tree_map(sg, cts_val_b)
+
+    def diff_block(bodies_b, fr, state_b, dt_k_b, cache_b, cts_val_b):
         if cfg.time_of_contact_diff:
             use_pair = state_b.had_toc
         else:
@@ -162,10 +240,24 @@ def finish_step_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b, k_b,
         dt_p = -state_b.last_dt + (sg(state_b.last_dt) + dt_k_b)
         dt_ = jnp.where(use_pair, dt_p, dt_k_b)
 
-        def rep(bd, st, d, ca):
-            return _replay(_spec_with_bodies(spec, bd), st, d, ca)
+        if cfg.replay_mode == "emit":
 
-        new_v, q2, p2, contacts = jax.vmap(rep)(bodies_b, state_b, dt_, cache_b)
+            def rep_emit(bd, frc, st, d, ca, cv):
+                return _replay_emit(
+                    _spec_with(spec, bd, frc), st, d, ca, cts_val=cv
+                )
+
+            new_v, q2, p2, contacts = jax.vmap(
+                rep_emit, in_axes=(0, fr_ax, 0, 0, 0, 0)
+            )(bodies_b, fr, state_b, dt_, cache_b, cts_val_b)
+        else:
+
+            def rep(bd, frc, st, d, ca):
+                return _replay(_spec_with(spec, bd, frc), st, d, ca)
+
+            new_v, q2, p2, contacts = jax.vmap(
+                rep, in_axes=(0, fr_ax, 0, 0, 0)
+            )(bodies_b, fr, state_b, dt_, cache_b)
 
         if cfg.time_of_contact_diff:
             pair_act = jnp.take_along_axis(
@@ -178,13 +270,16 @@ def finish_step_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b, k_b,
             def toc_all(op):
                 new_v, q2, p2, contacts, dt_, toc_mask = op
 
-                def one(bd, st, nv, q, p, ct, d, tm):
+                def one(bd, frc, st, nv, q, p, ct, d, tm):
                     return _toc_recompute(
-                        _spec_with_bodies(spec, bd), st, nv, q, p, ct, d, tm
+                        _spec_with(spec, bd, frc), st, nv, q, p, ct, d, tm
                     )
 
-                q2t, p2t, dt_toc = jax.vmap(one)(
-                    bodies_b, state_b, new_v, q2, p2, contacts, dt_, toc_mask
+                q2t, p2t, dt_toc = jax.vmap(
+                    one, in_axes=(0, fr_ax) + (0,) * 7
+                )(
+                    bodies_b, fr, state_b, new_v, q2, p2, contacts, dt_,
+                    toc_mask
                 )
                 return _select_lanes(
                     any_lane, (q2t, p2t, dt_toc), (q2, p2, state_b.last_dt)
@@ -231,7 +326,7 @@ def finish_step_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b, k_b,
 
     dt_k_b = dt_frame_b * 0.5 ** k_b.astype(dtype)
     new_v, q2, p2, contacts, last_dt, had_toc = diff_block(
-        bodies_b, state_b, dt_k_b, cache_b
+        bodies_b, fr, state_b, dt_k_b, cache_b, cts_val_b
     )
 
     new_state = WorldState(
@@ -246,10 +341,13 @@ def finish_step_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b, k_b,
     return new_state, rec
 
 
-def step_dt_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b):
+def step_dt_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b,
+                    forces_b=None):
     """One substep for the whole batch (see step_dt)."""
-    k, ok, cache = _probe_batched(spec, bodies_b, state_b, dt_frame_b)
-    return finish_step_batched(spec, bodies_b, state_b, dt_frame_b, k, ok, cache)
+    k, ok, cache = _probe_batched(spec, bodies_b, state_b, dt_frame_b,
+                                  forces_b=forces_b)
+    return finish_step_batched(spec, bodies_b, state_b, dt_frame_b, k, ok,
+                               cache, forces_b=forces_b)
 
 
 def _skip_record(st: WorldState):
@@ -265,7 +363,8 @@ def _skip_record(st: WorldState):
     )
 
 
-def step_frame_batched(spec: WorldSpec, bodies_b, state_b: WorldState):
+def step_frame_batched(spec: WorldSpec, bodies_b, state_b: WorldState,
+                       forces_b=None):
     """One fixed-dt frame for the whole batch: substep until every lane's t
     reaches its end_t, bounded by cfg.max_substeps. Substeps where NO lane
     is active are one skipped whole-batch cond (in the vmap path they each
@@ -280,7 +379,8 @@ def step_frame_batched(spec: WorldSpec, bodies_b, state_b: WorldState):
 
         def do(_):
             dtf = jnp.maximum(remaining, cfg.dt * 1e-6)
-            new_st, rec = step_dt_batched(spec, bodies_b, st, dtf)
+            new_st, rec = step_dt_batched(spec, bodies_b, st, dtf,
+                                          forces_b=forces_b)
             new_st = _select_lanes(active, new_st, st)
             rec = _select_lanes(active, rec, _skip_record(st))
             return new_st, rec._replace(valid=rec.valid & active)
@@ -321,6 +421,7 @@ def rollout_batched(
     state_b: WorldState,
     n_frames: int,
     detach_2nd_bounce: bool = False,
+    forces_b=None,
 ):
     """Scan n_frames batched frames. Trajectory leaves are (T, S, B, ...).
 
@@ -329,10 +430,14 @@ def rollout_batched(
     it for non-triggered lanes and selecting is exact; the whole-batch cond
     skips the re-run entirely when no lane triggers this frame."""
     if spec.cfg.remat_frames:
-        ckpt = jax.checkpoint(lambda st: step_frame_batched(spec, bodies_b, st))
+        ckpt = jax.checkpoint(
+            lambda st: step_frame_batched(spec, bodies_b, st, forces_b=forces_b)
+        )
         frame_fn = lambda st: ckpt(st)
     else:
-        frame_fn = lambda st: step_frame_batched(spec, bodies_b, st)
+        frame_fn = lambda st: step_frame_batched(
+            spec, bodies_b, st, forces_b=forces_b
+        )
 
     def frame(carry, _):
         st, n_contact_steps = carry

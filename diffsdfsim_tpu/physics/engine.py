@@ -303,7 +303,12 @@ def solve_dynamics(
 
     def no_contact_branch(_):
         x = _eq_constrained_solve(mass_matrix_inv(bodies, state.quat), Je, u)
-        return x, _zero_sol()
+        # the sol x-slot carries -new_v so emission-mode callers
+        # (world.finish_step replay_mode="emit") can read the cached step
+        # velocity uniformly as -sol.x regardless of the contact branch;
+        # nothing consumes the no-contact sol otherwise
+        zx, zy, zz, zs = _zero_sol()
+        return x, (-x[None], zy, zz, zs)
 
     def contact_branch(_):
         G, F, hvec, _, _, _ = assemble_contact_lcp(bodies, contacts, v, cfg)
@@ -393,7 +398,10 @@ def probe_dynamics_batch(bodies, joints, forces, state, contacts: Contacts, dts,
 
     def no_contact_branch(_):
         x = _eq_constrained_solve(mass_matrix_inv(bodies, state.quat), Je, u)
-        return x, _zero_sol()
+        # sol x-slot = -new_v for uniform emission-mode reuse (see
+        # solve_dynamics.no_contact_branch)
+        zx, zy, zz, zs = _zero_sol()
+        return x, (-x, zy, zz, zs)
 
     def contact_branch(_):
         G, F, hvec, _, _, _ = assemble_contact_lcp(

@@ -24,10 +24,12 @@ TPU-native redesign of the reference stepping core
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..config import SimConfig, default_dtype
@@ -206,11 +208,24 @@ def _accept_thresh(spec: WorldSpec, state: WorldState):
     per resting frame vs 0.4 ms). Accepting when the step does not WORSEN
     penetration beyond max(tol, start_pen) is equivalent on the reference's
     reachable states (start_pen <= tol there) and restores O(1) probes for
-    resting contact."""
+    resting contact.
+
+    The extra +tol SLACK keeps the decision away from its own noise floor:
+    sliding/resting contact self-organizes to ride the acceptance boundary
+    (accepted penetration creeps up to exactly the threshold, then a
+    reject/bisect resets it), so with a zero-margin comparison an O(1e-14)
+    numerical difference between equivalent execution paths (single vs
+    batched-native, solver backends) flips individual frame decisions into
+    max-depth micro-bisections that truncate the frame (observed: the sysid
+    slide diverged 1.5e-2 in position between backends from one flipped
+    frame). A one-tol margin is far above path jitter and far below contact
+    scales, and bounds penetration growth at tol per substep — the same
+    order the reference accepts per step."""
     sg = jax.lax.stop_gradient
     start_pen = sg(state.contacts.max_pen_all)
     tol = jnp.asarray(spec.cfg.tol, dtype=state.pos.dtype)
-    return jnp.maximum(tol, jnp.where(jnp.isfinite(start_pen), start_pen, tol))
+    base = jnp.maximum(tol, jnp.where(jnp.isfinite(start_pen), start_pen, tol))
+    return base + tol
 
 
 def _probe(spec: WorldSpec, state: WorldState, dt_, thresh):
@@ -258,6 +273,175 @@ def _replay(spec: WorldSpec, state: WorldState, dt_, cache):
         spec.bodies, q2, p2, spec.directed_pairs, spec.n_unordered, cfg, cache=ccache
     )
     return new_v, q2, p2, contacts
+
+
+def _empty_contacts_value(spec: WorldSpec, dtype, max_pen_all) -> Contacts:
+    """All-invalid Contacts buffer exactly matching what find_contacts
+    produces from an all-invalid cache: the stable valid-first compaction of
+    all-invalid keys is the identity order, so the i1/i2/pair_id columns are
+    the static concatenation of the directed-pair table truncated to
+    max_contacts_total. (normal/p1/p2 differ from find_contacts' output only
+    on gate-masked slots, which every consumer masks by `valid`.)"""
+    cfg = spec.cfg
+    K = cfg.max_contacts_per_pair
+    kt = cfg.max_contacts_total
+    if spec.directed_pairs:
+        i1 = np.concatenate([np.full(K, dp.b1) for dp in spec.directed_pairs])
+        i2 = np.concatenate([np.full(K, dp.b2) for dp in spec.directed_pairs])
+        pid = np.concatenate([np.full(K, dp.pair_id) for dp in spec.directed_pairs])
+        i1, i2, pid = i1[:kt], i2[:kt], pid[:kt]
+    else:
+        i1 = i2 = pid = np.zeros(kt, dtype=np.int32)
+    n = i1.shape[0]
+    zero3 = jnp.zeros((n, 3), dtype=dtype)
+    return Contacts(
+        normal=zero3, p1=zero3, p2=zero3,
+        pen=jnp.full((n,), -1.0, dtype=dtype),
+        valid=jnp.zeros((n,), dtype=bool),
+        i1=jnp.asarray(i1, dtype=jnp.int32),
+        i2=jnp.asarray(i2, dtype=jnp.int32),
+        pair_id=jnp.asarray(pid, dtype=jnp.int32),
+        max_pen_all=max_pen_all,
+        pair_active=jnp.zeros((max(spec.n_unordered, 1),), dtype=bool),
+    )
+
+
+def _contacts_any_valid(cc):
+    """() bool: does any directed pair carry a selected, gate-passing
+    contact slot? (The predicate deciding whether the differentiable
+    recompute has any work.)"""
+    preds = [g & jnp.any(pc.sel_valid) for pc, g in zip(cc.caches, cc.gates)]
+    out = jnp.asarray(False)
+    for p in preds:
+        out = out | p
+    return out
+
+
+def _contacts_value(spec: WorldSpec, q2v, p2v, cc) -> Contacts:
+    """Severed contact VALUES at the replayed pose: exactly the numbers the
+    inline replay's differentiable find_contacts would output, computed
+    gradient-free. Under a lax.cond so single-rollout free-flight/resting
+    substeps (no selected contact in the cache) skip the recompute entirely;
+    batched callers hoist the cond to the whole-batch level instead
+    (physics/batched.py)."""
+    sg = jax.lax.stop_gradient
+    bodies = jax.tree_util.tree_map(sg, spec.bodies)
+
+    def have(_):
+        return find_contacts(
+            bodies, q2v, p2v, spec.directed_pairs, spec.n_unordered, spec.cfg,
+            cache=cc,
+        )
+
+    def none(_):
+        return _empty_contacts_value(spec, q2v.dtype, cc.max_pen_all)
+
+    out = jax.lax.cond(_contacts_any_valid(cc), have, none, None)
+    return jax.tree_util.tree_map(sg, out)
+
+
+def _zero_cotangent(x):
+    """Zero cotangent for a primal leaf (float0 for non-inexact dtypes)."""
+    aval = jax.typeof(x)
+    if jnp.issubdtype(aval.dtype, jnp.inexact):
+        return jnp.zeros(aval.shape, aval.dtype)
+    return np.zeros(aval.shape, jax.dtypes.float0)
+
+
+def _replay_values(spec: WorldSpec, state: WorldState, dt_, cache):
+    """Severed (value-only) replay outputs, recomputed from the probe cache:
+    new_v from the cached primal-dual solution (sol.x = -new_v on both solve
+    branches, engine.solve_dynamics/probe_dynamics_batch), poses by the same
+    integrate the inline replay performs. Bitwise-identical to the inline
+    replay's outputs."""
+    sg = jax.lax.stop_gradient
+    _, sol = cache
+    nb = state.pos.shape[0]
+    nv_val = sg(-sol[0][0, : 6 * nb]).reshape(nb, 6)
+    q2v, p2v = _integrate(sg(state.quat), sg(state.pos), nv_val, sg(dt_))
+    return nv_val, q2v, p2v
+
+
+def _replay_emit(spec: WorldSpec, state: WorldState, dt_, cache, cts_val=None):
+    """Emission-mode replay (cfg.replay_mode == "emit"): the substep's
+    differentiable step re-emits the probe's cached VALUES in the forward
+    pass and attaches the EXACT vjp of the inline `_replay` in the backward.
+
+    Rationale (round-5 perf target): the inline replay's forward is ~1.2 ms
+    of batch-size-independent XLA glue per substep — LCP re-emission whose
+    forward is literally `x = sol[0]` (ops/qp.py lcp_solve_from_solution),
+    the mass/joint/contact-Jacobian assembly (needed only by the backward),
+    and a contact recompute whose values equal the probe's search results.
+    Every forward VALUE is therefore already known at probe time; only the
+    gradient tape needs the real graph. This custom_vjp emits the cached
+    values (identical numerics, a handful of ops) and runs `jax.vjp` of the
+    inline replay only inside the backward pass — where the same recompute
+    already happened anyway under cfg.remat_replay. Gradients are exactly
+    the inline path's by construction.
+
+    `cts_val`: precomputed severed contact values (batched callers hoist the
+    recompute-skip cond to the whole-batch level); None computes them here
+    under a per-call lax.cond.
+
+    The probe cache and emitted values receive zero cotangents (they are
+    severed by construction — CLAUDE.md autodiff landmine #2)."""
+    cfg = spec.cfg
+    sg = jax.lax.stop_gradient
+    cache = jax.tree_util.tree_map(sg, cache)
+    cc, _ = cache
+    nv_val, q2v, p2v = _replay_values(spec, state, dt_, cache)
+    if cts_val is None:
+        cts_val = _contacts_value(spec, q2v, p2v, cc)
+
+    bodies, forces = spec.bodies, spec.forces
+    spec_stripped = _spec_with(spec, None, None)
+    vals = (nv_val, q2v, p2v, cts_val.normal, cts_val.p1, cts_val.p2, cts_val.pen)
+
+    # The custom_vjp's operands are the FLAT leaves (unflattened with the
+    # closed-over static treedef): BodyDef/shape pytrees keep static numpy
+    # tables (faces) in their aux data, and jax's bwd-structure check
+    # compares treedef aux by __eq__ — numpy arrays in aux make that
+    # comparison fail ("arrays cannot be passed as metadata fields"). Flat
+    # leaves have trivial structure; the treedef never crosses the boundary.
+    operands = (bodies, forces, state, dt_, cache)
+    flat, treedef = jax.tree_util.tree_flatten(operands)
+    n_op = len(flat)
+
+    @jax.custom_vjp
+    def emit(*leaves):
+        return leaves[n_op:]
+
+    def emit_fwd(*leaves):
+        return leaves[n_op:], leaves
+
+    def emit_bwd(res, ct):
+        bodies, forces, state, dt_, cache = jax.tree_util.tree_unflatten(
+            treedef, res[:n_op]
+        )
+
+        def rep(bodies, forces, state, dt_):
+            sp = _spec_with(spec_stripped, bodies, forces)
+            nv, q2, p2, cts = _replay(sp, state, dt_, cache)
+            return nv, q2, p2, cts.normal, cts.p1, cts.p2, cts.pen
+
+        _, vjp = jax.vjp(rep, bodies, forces, state, dt_)
+        db, df, dst, ddt = vjp(ct)
+        zc = jax.tree_util.tree_map(_zero_cotangent, cache)
+        grads = jax.tree_util.tree_leaves((db, df, dst, ddt, zc))
+        assert len(grads) == n_op, (len(grads), n_op)
+        zv = tuple(_zero_cotangent(x) for x in res[n_op:])
+        return tuple(grads) + zv
+
+    emit.defvjp(emit_fwd, emit_bwd)
+
+    nv, q2, p2, n_, p1_, p2_, pen_ = emit(*flat, *vals)
+    contacts = Contacts(
+        normal=n_, p1=p1_, p2=p2_, pen=pen_,
+        valid=cts_val.valid, i1=cts_val.i1, i2=cts_val.i2,
+        pair_id=cts_val.pair_id, max_pen_all=cts_val.max_pen_all,
+        pair_active=cts_val.pair_active,
+    )
+    return nv, q2, p2, contacts
 
 
 def _attempt(spec: WorldSpec, state: WorldState, dt_):
@@ -389,6 +573,21 @@ def _spec_with_bodies(spec: WorldSpec, bodies):
         {k: v for k, v in spec.__dict__.items() if k != "bodies"}
     )
     spec2.bodies = bodies
+    return spec2
+
+
+def _spec_with(spec: WorldSpec, bodies, forces):
+    """Shallow WorldSpec clone with replaced (traced) bodies AND forces.
+    Forces are pytrees (physics/forces.py) so per-lane / differentiable
+    force parameters travel as explicit operands instead of closure state —
+    required by the replay-emission custom_vjp and the batched-native
+    rollout's per-lane parameter support (VERDICT r4 #3)."""
+    spec2 = object.__new__(WorldSpec)
+    spec2.__dict__.update(
+        {k: v for k, v in spec.__dict__.items() if k not in ("bodies", "forces")}
+    )
+    spec2.bodies = bodies
+    spec2.forces = forces
     return spec2
 
 
@@ -576,8 +775,25 @@ def finish_step(spec: WorldSpec, state: WorldState, dt_frame, k, ok_final, cache
     Shared by step_dt and the batched-native path (physics/batched.py)."""
     cfg = spec.cfg
     dtype = state.pos.dtype
+    sg = jax.lax.stop_gradient
 
-    def diff_block(state, dt_k, cache):
+    # emission mode: the severed contact VALUES depend only on probe outputs
+    # and severed state, so they are computed OUTSIDE the (possibly
+    # rematerialized) diff_block — the backward's recompute then replays only
+    # the cheap emission, not the contact-value search
+    cts_val = None
+    if cfg.replay_mode == "emit":
+        dt_k0 = sg(dt_frame) * 0.5 ** k.astype(dtype)
+        use_pair0 = (
+            sg(state.had_toc) if cfg.time_of_contact_diff else jnp.asarray(False)
+        )
+        ld = sg(state.last_dt)
+        dt_val = jnp.where(use_pair0, -ld + (ld + dt_k0), dt_k0)
+        cache_sg = jax.tree_util.tree_map(sg, cache)
+        _, q2v, p2v = _replay_values(spec, state, dt_val, cache_sg)
+        cts_val = _contacts_value(spec, q2v, p2v, cache_sg[0])
+
+    def diff_block(state, dt_k, cache, cts_val):
         """The substep's entire differentiable work: replay + TOC +
         post-stabilization. Kept as one function so cfg.remat_replay can
         rematerialize it (its forward is cheap — the cached LCP solution is
@@ -592,7 +808,12 @@ def finish_step(spec: WorldSpec, state: WorldState, dt_frame, k, ok_final, cache
         dt_p = -state.last_dt + (jax.lax.stop_gradient(state.last_dt) + dt_k)
         dt_ = jnp.where(use_pair, dt_p, dt_k)
 
-        new_v, q2, p2, contacts = _replay(spec, state, dt_, cache)
+        if cfg.replay_mode == "emit":
+            new_v, q2, p2, contacts = _replay_emit(
+                spec, state, dt_, cache, cts_val=cts_val
+            )
+        else:
+            new_v, q2, p2, contacts = _replay(spec, state, dt_, cache)
 
         if cfg.time_of_contact_diff:
             # contacts new in this step: pair had no valid contact at step
@@ -649,7 +870,9 @@ def finish_step(spec: WorldSpec, state: WorldState, dt_frame, k, ok_final, cache
         diff_block = jax.checkpoint(diff_block, policy=policy)
 
     dt_k = dt_frame * 0.5 ** k.astype(dtype)
-    new_v, q2, p2, contacts, last_dt, had_toc = diff_block(state, dt_k, cache)
+    new_v, q2, p2, contacts, last_dt, had_toc = diff_block(
+        state, dt_k, cache, cts_val
+    )
 
     new_state = WorldState(
         quat=q2,
