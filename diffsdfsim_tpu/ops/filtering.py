@@ -60,8 +60,20 @@ def filter_contacts(
         cosang = jnp.clip(jnp.einsum("fc,c->f", n_unit, n_ref), -1.0, 1.0)
         member = unassigned & (jnp.arccos(cosang) < angle_thresh) & has
 
-        t1 = normalize(orthogonal(n_ref))
-        t2 = normalize(jnp.cross(n_ref, t1))
+        t1r = normalize(orthogonal(n_ref))
+        t2r = normalize(jnp.cross(n_ref, t1r))
+        # rotate the direction fan by a fixed ~7 deg off the frame axes: an
+        # axis-aligned fan ties its argmax along every edge of an
+        # axis-aligned contact face (a box resting on a floor — the common
+        # case), and tie-breaking on O(1e-14) score noise then selects
+        # DIFFERENT far-apart edge points across numerically equivalent
+        # execution paths (single vs batched-native), i.e. materially
+        # different contact manifolds. Off-axis directions make the argmax
+        # a unique face corner — exactly the hull vertices the reference's
+        # Qhull keeps — and stable under path jitter.
+        _c0, _s0 = 0.992197667229329, 0.124674733385228  # cos/sin(0.125)
+        t1 = _c0 * t1r + _s0 * t2r
+        t2 = -_s0 * t1r + _c0 * t2r
         dirs = jnp.stack(
             [
                 t1, t2, -t1, -t2,

@@ -335,21 +335,30 @@ def _pdipm_forward(Q, p, G, h, A, b, F, max_iter, eps, not_improved_lim, structu
         dual_resid = jnp.linalg.norm(rx, axis=-1)
         resids = pri_resid + dual_resid + nineq * mu
 
-        # best-iterate tracking (batch.py:143-163)
+        # best-iterate tracking (batch.py:143-163). The reference stops on
+        # BATCH-aggregated criteria (best_resids.max() < eps, a shared
+        # not-improved counter); with independent physics lanes flattened
+        # into one solver batch that makes a lane's returned iterate depend
+        # on its batch COMPOSITION (single-path D-rung batch vs
+        # batched-native B*D: extra shared iterations perturb borderline
+        # lanes, which flips near-threshold bisection acceptances between
+        # the two rollout paths). The criteria here are PER-LANE — matching
+        # the Pallas kernel's per-lane freeze (qp_pallas.py) — so every
+        # lane's solution is composition-independent; the while_loop still
+        # exits when all lanes are done.
         improved = resids < c.best_resids
         best_x = jnp.where(improved[:, None], x, c.best_x)
         best_s = jnp.where(improved[:, None], s, c.best_s)
         best_z = jnp.where(improved[:, None], z, c.best_z)
         best_y = jnp.where(improved[:, None], y, c.best_y) if neq > 0 else c.best_y
         best_resids = jnp.where(improved, resids, c.best_resids)
-        any_improved = jnp.any(improved)
-        n_not_improved = jnp.where(any_improved, 0, c.n_not_improved + 1)
+        n_not_improved = jnp.where(improved, 0, c.n_not_improved + 1)
 
         done = (
             c.done
-            | (n_not_improved == not_improved_lim)
-            | (jnp.max(best_resids) < eps)
-            | (jnp.min(mu) > 1e32)
+            | (n_not_improved >= not_improved_lim)
+            | (best_resids < eps)
+            | (mu > 1e32)
         )
 
         # affine scaling direction (batch.py:169-181); one factorization
@@ -419,7 +428,7 @@ def _pdipm_forward(Q, p, G, h, A, b, F, max_iter, eps, not_improved_lim, structu
         x, s, z, y,
         x, s, z, y,
         jnp.full((nb,), big, dtype=dtype),
-        jnp.zeros((), dtype=jnp.int32),
+        jnp.zeros((nb,), dtype=jnp.int32),
         jnp.zeros((nb,), dtype=bool),
     )
     out = jax.lax.while_loop(
