@@ -192,6 +192,24 @@ def _pair_polishes(bd1: BodyDef, cfg: SimConfig) -> bool:
     return cfg.contact_polish_iters > 0 and bd1.is_sdf
 
 
+def _use_narrowphase2d(bd1: BodyDef, bd2: BodyDef, cfg: SimConfig) -> bool:
+    """Static: does this directed pair use the analytic 2D narrowphase
+    (physics2d/narrowphase.py) instead of the Frank-Wolfe mesh search?"""
+    if not cfg.narrowphase2d or not bd1.is_sdf:
+        return False
+    from ..physics2d import narrowphase as np2d
+
+    return np2d.supported_pair(bd1, bd2)
+
+
+def _pair_uses_anchors(bd1: BodyDef, bd2: BodyDef, cfg: SimConfig) -> bool:
+    """Static: does the differentiable recompute consume cached body-1-frame
+    anchor points (x1_sel) instead of barycentric face points? True for
+    polishing pairs and for the analytic 2D narrowphase (whose candidates
+    are anchor points by construction)."""
+    return _pair_polishes(bd1, cfg) or _use_narrowphase2d(bd1, bd2, cfg)
+
+
 def _fw_setup(bd1: BodyDef, q1, pos1, bd2: BodyDef, q2, pos2):
     """Stop-gradient inputs of one directed pair's FW search: triangles of
     bd1's surface in bd2's local metric frame + bd2's SDF query."""
@@ -326,10 +344,51 @@ def _search_pair_raw_pallas(
     )
 
 
+def _search_pair_raw_2d(
+    bd1: BodyDef, q1, pos1, bd2: BodyDef, q2, pos2, cfg: SimConfig
+) -> RawPairSearch:
+    """Analytic 2D narrowphase backend (physics2d/narrowphase.py, reference
+    lcp_physics/physics/contacts.py:55-210): up to K2D world candidates from
+    the circle/SAT/clipping algorithms, then the standard no-grad contact
+    quantities at those anchors — same downstream contract as the FW
+    backends, with the per-face arrays replaced by K2D anchor slots."""
+    from ..physics2d import narrowphase as np2d
+
+    sg = jax.lax.stop_gradient
+    q1s, p1s, q2s, p2s = sg(q1), sg(pos1), sg(q2), sg(pos2)
+    bd1s = jax.tree_util.tree_map(sg, bd1)
+    bd2s = jax.tree_util.tree_map(sg, bd2)
+
+    pts2, valid, _sep = np2d.pair_candidates(bd1s, q1s, p1s, bd2s, q2s, p2s)
+    F = pts2.shape[0]
+    dtype = pts2.dtype
+    # world 3D candidate (planar worlds contact at z = 0) -> body-1 frame
+    w3 = jnp.concatenate([pts2, jnp.zeros((F, 1), dtype=dtype)], axis=-1)
+    x1 = quat_apply(quat_invert(q1s), w3 - p1s)
+
+    n_ng, p1_ng, _, pen_ng = _compute_contacts(
+        bd1s, q1s, p1s, bd2s, q2s, p2s,
+        jnp.zeros((F, 3), dtype=dtype), jnp.zeros((F,), dtype=jnp.int32),
+        valid, cfg.eps, cfg.detach_contact_b2, with_stability=False,
+        anchor_b1=x1,
+    )
+    cmask = valid & (pen_ng >= -cfg.eps)
+    max_pen = jnp.max(jnp.where(cmask, pen_ng, -jnp.inf))
+    return jax.tree_util.tree_map(
+        jax.lax.stop_gradient,
+        RawPairSearch(
+            abc=jnp.zeros((F, 3), dtype=dtype), n_ng=n_ng, p1_ng=p1_ng,
+            pen=pen_ng, cmask=cmask, max_pen=max_pen, x1=x1,
+        ),
+    )
+
+
 def search_pair_raw(
     bd1: BodyDef, q1, pos1, bd2: BodyDef, q2, pos2, cfg: SimConfig
 ) -> RawPairSearch:
     """One directed pair's gradient-free search phase (no filtering)."""
+    if _use_narrowphase2d(bd1, bd2, cfg):
+        return _search_pair_raw_2d(bd1, q1, pos1, bd2, q2, pos2, cfg)
     if _use_fw_pallas(bd1, bd2, cfg):
         return _search_pair_raw_pallas(bd1, q1, pos1, bd2, q2, pos2, cfg)
     return _search_pair_raw_xla(bd1, q1, pos1, bd2, q2, pos2, cfg)
@@ -400,7 +459,7 @@ def find_contacts_pair(
         bd1, q1, pos1, bd2, q2, pos2,
         cache.abc_sel, cache.sel_idx, cache.sel_valid,
         cfg.eps, cfg.detach_contact_b2, with_stability=True,
-        anchor_b1=cache.x1_sel if _pair_polishes(bd1, cfg) else None,
+        anchor_b1=cache.x1_sel if _pair_uses_anchors(bd1, bd2, cfg) else None,
     )
     return normals, p1c, p2c, pens, cache.sel_valid, cache.max_pen
 

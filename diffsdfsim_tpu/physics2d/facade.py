@@ -220,9 +220,18 @@ class FixedJoint2D(RevoluteJoint2D):
         return J1, J2
 
 
-def make_world_2d(bodies, poses_2d, vels_2d, joints=(), forces=(), no_contact=(), cfg=SimConfig()):
+def make_world_2d(bodies, poses_2d, vels_2d, joints=(), forces=(), no_contact=(),
+                  cfg=SimConfig(), narrowphase="fw"):
     """poses_2d (B,3) = [theta, x, y]; vels_2d (B,3) = [omega, vx, vy]
-    (reference 2D generalized coordinates, SURVEY §1)."""
+    (reference 2D generalized coordinates, SURVEY §1).
+
+    `narrowphase="analytic"` switches supported pairs (Circle/Rect/Hull) to
+    the reference's analytic 2D contact algorithms (circle-circle,
+    circle-hull, hull-hull SAT + clipping — physics2d/narrowphase.py) as the
+    candidate generator; "fw" keeps the 3D Frank-Wolfe search on the
+    extruded meshes."""
+    if narrowphase == "analytic":
+        cfg = cfg.replace(narrowphase2d=True)
     dtype = default_dtype()
     poses_2d = jnp.asarray(poses_2d, dtype=dtype)
     vels_2d = jnp.asarray(vels_2d, dtype=dtype)
