@@ -23,14 +23,22 @@ import jax.numpy as jnp
 
 import bench
 
+# bench._build bakes the SHIPPED knob values (substep_unroll=4,
+# replay_mode="emit") into its base dict, so re-measuring a knob requires an
+# override that explicitly RESETS it — an empty dict would compare the
+# shipped config against itself (ADVICE r4 medium).
 CONFIGS = {
-    "base": {},
+    "base": {"substep_unroll": 1},
     "sub4": {"substep_unroll": 4},
     "frame2": {"frame_unroll": 2},
     "sub4frame2": {"substep_unroll": 4, "frame_unroll": 2},
     "dots": {"remat_policy": "dots"},
     "sub4dots": {"substep_unroll": 4, "remat_policy": "dots"},
     "noremat": {"remat_replay": False},
+    # round-5 replay-emission A/B (world._replay_emit vs legacy inline)
+    "inline": {"replay_mode": "inline"},
+    "emit": {"replay_mode": "emit"},
+    "emit_noremat": {"replay_mode": "emit", "remat_replay": False},
 }
 
 N_BIG = 10
@@ -58,11 +66,11 @@ def measure(loss_fn):
 
         return run
 
-    dt, spread = bench._marginal_cost(
+    dt, _, spread = bench._marginal_cost(
         run_n(grad_fn, 1, lambda o: o[1]), run_n(grad_fn, N_BIG, lambda o: o[1]),
         N_BIG, k=2,
     )
-    dt_f, _ = bench._marginal_cost(
+    dt_f, _, _ = bench._marginal_cost(
         run_n(fwd_fn, 1, lambda o: o), run_n(fwd_fn, N_BIG, lambda o: o),
         N_BIG, k=2,
     )
@@ -95,11 +103,11 @@ def measure_batch(batch_loss_fn, nb=16):
 
         return run
 
-    dt, spread = bench._marginal_cost(run_n(1), run_n(6), 6, k=2)
-    return dict(
-        batch16_steps_per_sec=round(bench.N_FRAMES * nb / dt, 1),
-        batch16_spread=round(spread, 3),
-    )
+    dt, _, spread = bench._marginal_cost(run_n(1), run_n(6), 6, k=2)
+    return {
+        f"batch{nb}_steps_per_sec": round(bench.N_FRAMES * nb / dt, 1),
+        f"batch{nb}_spread": round(spread, 3),
+    }
 
 
 def main():

@@ -55,6 +55,12 @@ DEFAULTS = dict(
     sweep_backend="bnative",  # bnative (explicit batch axis) | vmap
     mesh_subdiv=2,
     fric_dirs=8,
+    # ablation knobs (VERDICT r4 #2: bisect the r3 semantic changes):
+    # contact polish trips, staged-ladder stage-1 depth (-1 = unstaged),
+    # replay mode ("emit" | "inline")
+    polish_iters=10,
+    stage1=2,
+    replay="emit",
     base_dir="outputs",
 )
 
@@ -79,6 +85,9 @@ def build_cfg(c) -> SimConfig:
         # instead (forces here are plain Gravity — no per-lane tracers)
         ladder_fast_path=c.get("n_par", 1) <= 1,
         ladder_batch_gate=c.get("n_par", 1) > 1,
+        contact_polish_iters=c.get("polish_iters", 10),
+        ladder_stage1=c.get("stage1", 2),
+        replay_mode=c.get("replay", "emit"),
     )
 
 

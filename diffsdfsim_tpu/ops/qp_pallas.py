@@ -55,9 +55,16 @@ def _mtv(M, v):
     return jnp.sum(M * v[:, :, None], axis=1)
 
 
-def _make_gj_inverter(mm, dtype, unroll):
+def _make_gj_inverter(mm, dtype, unroll, force_unroll_small=False):
     """In-kernel pivot-free Gauss-Jordan inverter for (bb, mm, mm) systems
-    (see inv_gj comments in _make_kernel for the Mosaic constraints)."""
+    (see inv_gj comments in _make_kernel for the Mosaic constraints).
+
+    `force_unroll_small` unconditionally unrolls when mm <= 32 even at wide
+    blocks — calibrated ONLY for the reduced fric system (_make_fric_ops,
+    m2 = 26 at bench shape; measured: the unrolled GJ's live-range union
+    fits scoped VMEM at block 48 and beats the fori variant). The generic
+    kernel keeps the caller's unroll choice: wide-block unrolled GJ compile
+    time explodes with block width (ADVICE r4)."""
     rid_aug = jax.lax.broadcasted_iota(jnp.int32, (mm, 2 * mm), 0)
     rid_mm = jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 0)
     cid_mm = jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 1)
@@ -71,7 +78,7 @@ def _make_gj_inverter(mm, dtype, unroll):
         aug = jnp.concatenate(
             [S, jnp.broadcast_to(eye_mm[None], S.shape)], axis=-1
         )
-        if (unroll and mm <= 64) or mm <= 32:
+        if (unroll and mm <= 64) or (force_unroll_small and mm <= 32):
             for kk in range(mm):
                 piv = aug[:, kk, :] / safe_pv(aug[:, kk, kk][:, None])
                 elim = aug - aug[:, :, kk][:, :, None] * piv[:, None, :]
@@ -108,7 +115,7 @@ def _make_fric_ops(neq, neq_real, k_c, fd, m, bb, dtype, base_red, mu_fric,
     nf = k_c * fd
     nf2 = k_c * fd2
     m2 = neq + k_c + nf2
-    inv_gj2 = _make_gj_inverter(m2, dtype, unroll)
+    inv_gj2 = _make_gj_inverter(m2, dtype, unroll, force_unroll_small=True)
 
     # static selection masks (iota only; Mosaic has no gather).
     # friction rows are per-contact blocks [d1..d_fd2, -d1..-d_fd2]
