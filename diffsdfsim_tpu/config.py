@@ -140,8 +140,14 @@ class SimConfig:
     #   the inline replay. Numerically identical values and gradients;
     #   removes ~all of the replay's XLA glue from the forward pass (the
     #   round-4 profile's 1.2 ms batch-size-independent wall).
-    # - "inline": legacy on-tape replay (parity/debug reference).
-    replay_mode: str = "emit"
+    # - "inline": on-tape replay (the parity reference).
+    # - "auto" (default): measured per-path optimum — "emit" on the
+    #   single-rollout path (TPU: 556 -> 721 steps/s fwd+bwd, the free
+    #   forward dominates), "inline" on the batched-native path (the
+    #   emission backward's extra linearization outweighs the forward
+    #   saving once lanes amortize the glue: B=16 3831 vs 3704, B=64
+    #   5246 vs 5157).
+    replay_mode: str = "auto"
     # rematerialize each substep's differentiable replay block (replay +
     # contact recompute + TOC) in the backward. The replay forward is cheap
     # (the probe's cached LCP solution is re-emitted, no interior-point

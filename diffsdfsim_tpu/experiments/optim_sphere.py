@@ -60,7 +60,7 @@ DEFAULTS = dict(
     # replay mode ("emit" | "inline")
     polish_iters=10,
     stage1=2,
-    replay="emit",
+    replay="auto",
     base_dir="outputs",
 )
 

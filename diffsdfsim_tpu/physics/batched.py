@@ -55,7 +55,7 @@ from .world import (
     _integrate,
     _probe_rungs,
     _replay,
-    _replay_emit,
+    _replay_emit_batched,
     _replay_values,
     _spec_with,
     _spec_with_bodies,
@@ -192,8 +192,9 @@ def finish_step_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b, k_b,
     # outside the (possibly rematerialized) diff_block and under a
     # WHOLE-BATCH cond — free-flight/resting substeps (no lane selected a
     # contact) emit the static empty buffer for the entire batch
+    emit_mode = cfg.replay_mode == "emit"  # "auto" -> inline here (see SimConfig)
     cts_val_b = None
-    if cfg.replay_mode == "emit":
+    if emit_mode:
         dt_k0 = sg(dt_frame_b) * 0.5 ** k_b.astype(dtype)
         if cfg.time_of_contact_diff:
             use_pair0 = sg(state_b.had_toc)
@@ -240,16 +241,10 @@ def finish_step_batched(spec: WorldSpec, bodies_b, state_b, dt_frame_b, k_b,
         dt_p = -state_b.last_dt + (sg(state_b.last_dt) + dt_k_b)
         dt_ = jnp.where(use_pair, dt_p, dt_k_b)
 
-        if cfg.replay_mode == "emit":
-
-            def rep_emit(bd, frc, st, d, ca, cv):
-                return _replay_emit(
-                    _spec_with(spec, bd, frc), st, d, ca, cts_val=cv
-                )
-
-            new_v, q2, p2, contacts = jax.vmap(
-                rep_emit, in_axes=(0, fr_ax, 0, 0, 0, 0)
-            )(bodies_b, fr, state_b, dt_, cache_b, cts_val_b)
+        if emit_mode:
+            new_v, q2, p2, contacts = _replay_emit_batched(
+                spec, bodies_b, fr, fr_ax, state_b, dt_, cache_b, cts_val_b
+            )
         else:
 
             def rep(bd, frc, st, d, ca):

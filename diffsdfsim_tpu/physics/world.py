@@ -362,6 +362,75 @@ def _replay_values(spec: WorldSpec, state: WorldState, dt_, cache):
     return nv_val, q2v, p2v
 
 
+def _replay_emit_batched(spec: WorldSpec, bodies_b, forces, fr_ax, state_b,
+                         dt_b, cache_b, cts_val_b):
+    """Whole-batch emission replay (physics/batched.py): same contract as
+    `_replay_emit` per lane, but the custom_vjp wraps the ENTIRE lane batch.
+    A per-lane custom_vjp under jax.vmap routes the backward through jax's
+    custom_vjp batching, where the solver kernels' custom_vmap
+    lane-flattening rules do not apply (measured: batch-16 throughput
+    regressed ~20%); with the batch axis inside the custom_vjp, the
+    backward is an ordinary vmapped graph — identical in structure to the
+    inline batched replay's transpose."""
+    sg = jax.lax.stop_gradient
+    cache_b = jax.tree_util.tree_map(sg, cache_b)
+    spec_stripped = _spec_with(spec, None, None)
+
+    def rv(bd, st, d, ca):
+        return _replay_values(_spec_with_bodies(spec, bd), st, d, ca)
+
+    nv_val, q2v, p2v = jax.vmap(rv)(bodies_b, state_b, sg(dt_b), cache_b)
+    vals = (
+        nv_val, q2v, p2v,
+        cts_val_b.normal, cts_val_b.p1, cts_val_b.p2, cts_val_b.pen,
+    )
+
+    operands = (bodies_b, forces, state_b, dt_b, cache_b)
+    flat, treedef = jax.tree_util.tree_flatten(operands)
+    n_op = len(flat)
+
+    @jax.custom_vjp
+    def emit(*leaves):
+        return leaves[n_op:]
+
+    def emit_fwd(*leaves):
+        return leaves[n_op:], leaves
+
+    def emit_bwd(res, ct):
+        bodies_b, forces, state_b, dt_b, cache_b = jax.tree_util.tree_unflatten(
+            treedef, res[:n_op]
+        )
+
+        def rep_b(bodies_b, forces, state_b, dt_b):
+            def one(bd, frc, st, d, ca):
+                sp = _spec_with(spec_stripped, bd, frc)
+                nv, q2, p2, cts = _replay(sp, st, d, ca)
+                return nv, q2, p2, cts.normal, cts.p1, cts.p2, cts.pen
+
+            return jax.vmap(one, in_axes=(0, fr_ax, 0, 0, 0))(
+                bodies_b, forces, state_b, dt_b, cache_b
+            )
+
+        _, vjp = jax.vjp(rep_b, bodies_b, forces, state_b, dt_b)
+        db, df, dst, ddt = vjp(ct)
+        zc = jax.tree_util.tree_map(_zero_cotangent, cache_b)
+        grads = jax.tree_util.tree_leaves((db, df, dst, ddt, zc))
+        assert len(grads) == n_op, (len(grads), n_op)
+        zv = tuple(_zero_cotangent(x) for x in res[n_op:])
+        return tuple(grads) + zv
+
+    emit.defvjp(emit_fwd, emit_bwd)
+
+    nv, q2, p2, n_, p1_, p2_, pen_ = emit(*flat, *vals)
+    contacts = Contacts(
+        normal=n_, p1=p1_, p2=p2_, pen=pen_,
+        valid=cts_val_b.valid, i1=cts_val_b.i1, i2=cts_val_b.i2,
+        pair_id=cts_val_b.pair_id, max_pen_all=cts_val_b.max_pen_all,
+        pair_active=cts_val_b.pair_active,
+    )
+    return nv, q2, p2, contacts
+
+
 def _replay_emit(spec: WorldSpec, state: WorldState, dt_, cache, cts_val=None):
     """Emission-mode replay (cfg.replay_mode == "emit"): the substep's
     differentiable step re-emits the probe's cached VALUES in the forward
@@ -781,8 +850,9 @@ def finish_step(spec: WorldSpec, state: WorldState, dt_frame, k, ok_final, cache
     # and severed state, so they are computed OUTSIDE the (possibly
     # rematerialized) diff_block — the backward's recompute then replays only
     # the cheap emission, not the contact-value search
+    emit_mode = cfg.replay_mode in ("emit", "auto")
     cts_val = None
-    if cfg.replay_mode == "emit":
+    if emit_mode:
         dt_k0 = sg(dt_frame) * 0.5 ** k.astype(dtype)
         use_pair0 = (
             sg(state.had_toc) if cfg.time_of_contact_diff else jnp.asarray(False)
@@ -808,7 +878,7 @@ def finish_step(spec: WorldSpec, state: WorldState, dt_frame, k, ok_final, cache
         dt_p = -state.last_dt + (jax.lax.stop_gradient(state.last_dt) + dt_k)
         dt_ = jnp.where(use_pair, dt_p, dt_k)
 
-        if cfg.replay_mode == "emit":
+        if emit_mode:
             new_v, q2, p2, contacts = _replay_emit(
                 spec, state, dt_, cache, cts_val=cts_val
             )
