@@ -61,6 +61,8 @@ DEFAULTS = dict(
     polish_iters=10,
     stage1=2,
     replay="auto",
+    # solver backend ablation (VERDICT r4 #4: pallas/xla f32 gap)
+    backend="auto",
     base_dir="outputs",
 )
 
@@ -87,7 +89,8 @@ def build_cfg(c) -> SimConfig:
         ladder_batch_gate=c.get("n_par", 1) > 1,
         contact_polish_iters=c.get("polish_iters", 10),
         ladder_stage1=c.get("stage1", 2),
-        replay_mode=c.get("replay", "emit"),
+        replay_mode=c.get("replay", "auto"),
+        solver_backend=c.get("backend", "auto"),
     )
 
 
